@@ -1,0 +1,145 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Measures, at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]:
+
+* headline gate queries over the driver tables (per-query seconds), and
+* the full-text engine itself on the synthetic transcript corpus:
+  index-build turns/sec + top-k query latency p50/p95 over the reference
+  query set (WAND path).
+
+`--scaling` additionally runs the index build at local[8] vs local[32] on the
+same input and reports throughput at both plus scaling efficiency
+(= (thr32/thr8)/4) — the sandbox stand-in for N vs 4N executors.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_TURNS = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "100000"))
+
+
+def _quantile(xs: list[float], q: float) -> float:
+    xs = sorted(xs)
+    i = min(len(xs) - 1, int(round(q * (len(xs) - 1))))
+    return xs[i]
+
+
+def run_engine_bench(spark, workdir: str) -> dict:
+    from intuition_spark.corpus import reference_queries, transcripts_path
+    from intuition_spark.index.builder import build_index
+    from intuition_spark.query.engine import SearchEngine
+
+    src = transcripts_path(BENCH_TURNS)
+    df = spark.read.parquet(src)
+    n_turns = df.count()
+
+    ix_dir = os.path.join(workdir, "ix_std")
+    shutil.rmtree(ix_dir, ignore_errors=True)
+    t0 = time.time()
+    build_index(spark, df, ix_dir, analyzer="standard", n_segments=16)
+    build_s = time.time() - t0
+
+    eng = SearchEngine(spark, {"standard": ix_dir, "ws": ix_dir})
+    lat: list[float] = []
+    per_kind: dict[str, list[float]] = {}
+    for q in reference_queries(k=10):
+        if q.kind in ("wildcard",):  # ws variant shares the std index here
+            continue
+        t0 = time.time()
+        rows = eng.search(q).collect()
+        dt = time.time() - t0
+        lat.append(dt)
+        per_kind.setdefault(q.kind, []).append(dt)
+        _ = rows
+    return {
+        "build_turns_per_sec": round(n_turns / build_s, 1),
+        "build_sec": round(build_s, 2),
+        "n_turns": n_turns,
+        "query_p50_sec": round(_quantile(lat, 0.50), 3),
+        "query_p95_sec": round(_quantile(lat, 0.95), 3),
+        "n_queries": len(lat),
+        "kind_p50": {k: round(_quantile(v, 0.5), 3) for k, v in per_kind.items()},
+    }
+
+
+def run_gate_bench(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    out = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.time()
+        fn(spark, sf_dir).collect()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def run_scaling(workdir: str) -> dict:
+    """Same build job at two parallelism levels (BASELINE.md §2)."""
+    from intuition_spark.corpus import transcripts_path
+    from intuition_spark.index.builder import build_index
+    from intuition_spark.session import get_spark
+
+    src = transcripts_path(BENCH_TURNS)
+    results = {}
+    for cores in (8, 32):
+        spark = get_spark(f"bench-scale-{cores}", master=f"local[{cores}]",
+                          shuffle_partitions=cores * 2)
+        try:
+            df = spark.read.parquet(src)
+            n = df.count()
+            ix = os.path.join(workdir, f"ix_scale_{cores}")
+            shutil.rmtree(ix, ignore_errors=True)
+            t0 = time.time()
+            build_index(spark, df, ix, analyzer="standard", n_segments=max(16, cores),
+                        segs_per_job=max(16, cores))
+            dt = time.time() - t0
+            results[f"thr_{cores}"] = round(n / dt, 1)
+        finally:
+            spark.stop()
+    results["efficiency_8_to_32"] = round(results["thr_32"] / results["thr_8"] / 4.0, 3)
+    return results
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    workdir = "/tmp/intuition_spark_bench"
+    os.makedirs(workdir, exist_ok=True)
+
+    if "--scaling" in sys.argv:
+        print(json.dumps({"scaling": run_scaling(workdir)}))
+        return
+
+    from intuition_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{cpus}]")
+    t_all = time.time()
+    gate_times = run_gate_bench(spark, sf_dir)
+    engine = run_engine_bench(spark, workdir)
+    total = round(time.time() - t_all, 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "gate+engine wall seconds (index build turns/sec + query p50/p95 in engine.*)",
+                "value": total,
+                "unit": "sec",
+                "queries": gate_times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "engine": engine,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,115 @@
+"""Gate entries that exercise the REAL engine (segmented block-compressed
+index + WAND/exhaustive scorers) over the driver's `documents` table, yet stay
+reproducible by from-scratch BM25 SQL in DuckDB.
+
+documents rows are adapted to the transcript shape (conv_id=str(doc_id),
+turn_idx=0) — docID becomes '<doc_id>:0'. The index is built once per sf_dir
+and cached under /tmp keyed by the parquet file's size+mtime, so repeated gate
+runs don't rebuild.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from intuition_spark.driver_gate import _BM25_CTES, B, K1, register
+from intuition_spark.index.builder import build_index
+from intuition_spark.query.ast import Query
+from intuition_spark.query.engine import SearchEngine
+
+_ENGINES: dict[str, SearchEngine] = {}
+
+
+def documents_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit("2025-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+
+
+def get_documents_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = f"{os.path.basename(os.path.normpath(sf_dir))}_{st.st_size}_{int(st.st_mtime)}"
+    if key in _ENGINES:
+        return _ENGINES[key]
+    ix_dir = f"/tmp/intuition_spark_gate/ix_ws_{key}"
+    if not os.path.exists(os.path.join(ix_dir, "stats.json")):
+        build_index(
+            spark,
+            documents_as_transcripts(spark, sf_dir),
+            ix_dir,
+            analyzer="ws",
+            n_segments=4,
+        )
+    eng = SearchEngine(spark, {"ws": ix_dir})
+    _ENGINES[key] = eng
+    return eng
+
+
+@register(
+    "fts_engine_bm25_topk",
+    f"""
+WITH {_BM25_CTES},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term IN ('window','sort')
+       GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (c.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({K1} + 1.0)
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * s.dl / c.avgdl)) ) AS score,
+         count(*) AS ng
+  FROM tf JOIN df USING(term) JOIN doc_stats s USING(doc_id) CROSS JOIN corpus c
+  GROUP BY tf.doc_id)
+SELECT doc_id || ':0' AS doc, round(score, 4) AS score
+FROM scored WHERE ng = 2
+ORDER BY score DESC, CAST(doc_id AS VARCHAR) LIMIT 10
+""",
+)
+def fts_engine_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-term conjunctive BM25 top-k through the full stack: ws analyzer →
+    segmented delta+varint posting blocks → block-max WAND per segment →
+    global top-k merge. The DuckDB oracle recomputes BM25 from first
+    principles on the same tokenization."""
+    eng = get_documents_engine(spark, sf_dir)
+    q = Query("gate_wand", "and", [["window"], ["sort"]], k=10, analyzer="ws")
+    hits = eng.search(q, mode="wand")
+    return hits.select("doc", F.round("score", 4).alias("score"))
+
+
+@register(
+    "fts_engine_phrase",
+    f"""
+WITH {_BM25_CTES},
+a AS (SELECT doc_id, pos FROM toks WHERE term = 'table'),
+b AS (SELECT doc_id, pos FROM toks WHERE term = 'part'),
+ptf AS (SELECT a.doc_id, count(*) AS tf FROM a JOIN b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 GROUP BY a.doc_id),
+dfs AS (SELECT
+    (SELECT count(DISTINCT doc_id) FROM a) AS df_a,
+    (SELECT count(DISTINCT doc_id) FROM b) AS df_b)
+SELECT p.doc_id || ':0' AS doc,
+       round( ( ln(1 + (c.n - d.df_a + 0.5) / (d.df_a + 0.5))
+              + ln(1 + (c.n - d.df_b + 0.5) / (d.df_b + 0.5)) )
+              * p.tf * ({K1} + 1.0)
+              / (p.tf + {K1} * (1.0 - {B} + {B} * s.dl / c.avgdl)), 4) AS score
+FROM ptf p JOIN doc_stats s USING(doc_id) CROSS JOIN corpus c CROSS JOIN dfs d
+""",
+)
+def fts_engine_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase through the engine's positional path (delta-encoded
+    position streams decoded per segment). No LIMIT: every matching doc is
+    returned, so there is no top-k boundary to disagree on."""
+    eng = get_documents_engine(spark, sf_dir)
+    q = Query("gate_phrase", "phrase", [["table part"]], k=1_000_000, analyzer="ws")
+    hits = eng.search(q, mode="exhaustive")
+    return hits.select("doc", F.round("score", 4).alias("score"))

@@ -1,0 +1,260 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies, each Spark-first and designed for the 100 TB case:
+
+* exact          — md5 hash-groupBy (one shuffle on the hash, never on text)
+* minhash LSH    — shingle → minhash signature → band buckets → bucket join;
+                   candidate pairs only ever meet inside a band bucket, so the
+                   O(n²) comparison never materializes
+* simhash        — 64-bit weighted-feature hash; near-dups share bands of bits
+* n-gram Jaccard — exact verification on LSH candidates (not all pairs)
+* embedding      — cosine near-dup via normalized-vector LSH-ish rounding or
+                   brute force for candidate verification
+
+MinHash/simhash computation is a vectorized pandas UDF (numpy over token
+hashes); all joins/groupBys are DataFrame ops so Catalyst handles the rest.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _token_hashes(text: str, shingle: int) -> np.ndarray:
+    toks = text.lower().split()
+    if len(toks) < shingle:
+        shingles = [" ".join(toks)] if toks else []
+    else:
+        shingles = [" ".join(toks[i : i + shingle]) for i in range(len(toks) - shingle + 1)]
+    out = np.empty(len(shingles), dtype=np.uint64)
+    for i, s in enumerate(shingles):
+        h = np.uint64(1469598103934665603)
+        for c in s.encode():
+            h = (h ^ np.uint64(c)) * np.uint64(1099511628211)
+        out[i] = h & MERSENNE
+    return out
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: (text_hash, n_docs, keeper, members)."""
+    return (
+        df.groupBy(F.md5(text_col).alias("text_hash"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("keeper"),
+            F.sort_array(F.collect_list(id_col)).alias("members"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def make_minhash_udf(num_hashes: int = 64, shingle: int = 3, seed: int = 42):
+    """pandas UDF: text → array<bigint> minhash signature.
+
+    Universal hashing h_i(x) = (a_i·x + b_i) mod p over FNV shingle hashes —
+    the textbook MinHash construction (Broder '97)."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, int(MERSENNE), size=num_hashes, dtype=np.uint64)
+    b = rng.integers(0, int(MERSENNE), size=num_hashes, dtype=np.uint64)
+
+    def _sig(text: str | None) -> list[int]:
+        hs = _token_hashes(text or "", shingle)
+        if hs.size == 0:
+            return [0] * num_hashes
+        # (num_hashes, n_shingles) without overflow: use python-object fallback-
+        # free modmul via float128-unsafe — do it in chunks with uint64 * and
+        # Mersenne-prime folding
+        vals = np.empty(num_hashes, dtype=np.uint64)
+        for i in range(num_hashes):
+            prod = (a[i] * hs) & MERSENNE  # low 61 bits; collisions fine for LSH
+            v = (prod + b[i]) & MERSENNE
+            vals[i] = v.min()
+        return [int(x) for x in vals]
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def minhash(texts: pd.Series) -> pd.Series:
+        return texts.map(_sig)
+
+    return minhash
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle: int = 3,
+) -> DataFrame:
+    """Near-dup candidate pairs (a, b, n_shared_bands) via banded MinHash LSH.
+
+    Plan shape: one UDF stage → posexplode of band keys → shuffle on
+    (band, band_hash) → within-bucket self-join. Bucket sizes are the only
+    skew surface; AQE skew-join handles pathological buckets.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = make_minhash_udf(num_hashes, shingle)
+    with_sig = df.select(F.col(id_col).alias("a_id"), sig(F.col(text_col)).alias("sig"))
+    banded = with_sig.select(
+        "a_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(F.concat_ws("_", *[F.col("sig")[i] for i in
+                                                  range(bn * rows_per_band, (bn + 1) * rows_per_band)]))
+                    for bn in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    left = banded
+    right = banded.select(
+        F.col("a_id").alias("b_id"), F.col("band"), F.col("band_hash")
+    )
+    pairs = (
+        left.join(right, ["band", "band_hash"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+    return pairs
+
+
+def ngram_jaccard_verify(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs only (LSH output), via
+    distinct-shingle explode + pair join — no full cross product."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    n = F.size(toks)
+    shingles = F.when(n >= shingle, F.transform(
+        F.sequence(F.lit(0), n - shingle),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, shingle)),
+    )).otherwise(F.array(F.concat_ws(" ", toks)))
+    sh = (
+        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(shingles)).alias("sh"))
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("id").alias("a_id"), "sh")
+    b = sh.select(F.col("id").alias("b_id"), "sh")
+    inter = (
+        candidates.select("a_id", "b_id")
+        .join(a, "a_id")
+        .join(b, ["b_id", "sh"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "a_id").withColumnRenamed("n_sh", "n_a"), "a_id")
+        .join(sizes.withColumnRenamed("id", "b_id").withColumnRenamed("n_sh", "n_b"), "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            (F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def make_simhash_udf(seed: int = 42):
+    """pandas UDF: text → int64 SimHash (64-bit, token-frequency weighted)."""
+
+    def _simhash(text: str | None) -> int:
+        hs = _token_hashes(text or "", shingle=1)
+        if hs.size == 0:
+            return 0
+        # expand to ±1 bit votes, weight by token multiplicity (already in hs)
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+        votes = (2 * bits - 1).sum(axis=0)
+        v = np.uint64(0)
+        for i in range(64):
+            if votes[i] > 0:
+                v |= np.uint64(1) << np.uint64(i)
+        return int(v.astype(np.int64))
+
+    @F.pandas_udf(T.LongType())
+    def simhash(texts: pd.Series) -> pd.Series:
+        return texts.map(_simhash)
+
+    return simhash
+
+
+def simhash_candidates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bands: int = 4
+) -> DataFrame:
+    """SimHash near-dup candidates: split the 64-bit hash into `bands` chunks;
+    pairs agreeing on any chunk are candidates (Hamming ≤ bands-1 guaranteed
+    recall)."""
+    sim = make_simhash_udf()
+    width = 64 // bands
+    with_h = df.select(F.col(id_col).alias("a_id"), sim(F.col(text_col)).alias("h"))
+    banded = with_h.select(
+        "a_id",
+        "h",
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned(F.col("h"), i * width).bitwiseAND(F.lit((1 << width) - 1))
+                for i in range(bands)
+            ])
+        ).alias("band", "chunk"),
+    )
+    right = banded.select(F.col("a_id").alias("b_id"), F.col("h").alias("h_b"), "band", "chunk")
+    pairs = (
+        banded.join(right, ["band", "chunk"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.first("h").alias("h_a"), F.first("h_b").alias("h_b"))
+    )
+    # exact Hamming distance for verification (JVM-side bit ops)
+    xor = F.col("h_a").bitwiseXOR(F.col("h_b"))
+    hamming = sum(
+        F.shiftrightunsigned(xor, i).bitwiseAND(F.lit(1)) for i in range(64)
+    )
+    return pairs.select("a_id", "b_id", hamming.alias("hamming"))
+
+
+def embedding_near_duplicates(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Cosine near-dup pairs over an embedding column.
+
+    Brute-force O(n²) on the candidate scale used for verification; the
+    scale path buckets by coarse LSH first (see similarity.ivf_topk)."""
+    norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x))
+    a = emb.select(
+        F.col(id_col).alias("a_id"),
+        F.col(vec_col).alias("va"),
+        norm.alias("na"),
+    )
+    b = emb.select(
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).alias("vb"),
+        norm.alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", (dot / (F.col("na") * F.col("nb"))).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

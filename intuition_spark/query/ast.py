@@ -1,0 +1,72 @@
+"""Query AST — the engine's first IR.
+
+The reference round-trips queries through *strings* (buildSearchExpression →
+edismax parse → Lucene BooleanQuery, `service/SolrServiceImpl.java:336-413`).
+We skip string (re)parsing entirely: callers construct a :class:`Query`
+dataclass; the executor lowers it to a DataFrame plan (IR #2) which Catalyst
+optimizes (IR #3).
+
+Semantics (shared verbatim by the pure-Python oracle and the Spark engine):
+
+* ``groups`` is an AND of OR-groups — the reference's
+  ``+("BRAF" OR "B-RAF") +("V600E" OR "Val600Glu")`` shape. Every group must
+  match (edismax ``mm=100%``, `SolrClientTool.java:130,144,166,181`); within a
+  group every matching atom contributes (Lucene BooleanQuery disjunction sums
+  matching SHOULD clauses).
+* An atom that analyzes to multiple tokens is a phrase; ``slop`` > 0 makes it
+  a sloppy (proximity) phrase — `"<mutation> <keyword>"~15` at
+  `TextServiceImpl.java:531`. Phrase score follows Lucene PhraseQuery shape:
+  idf = Σ idf(term_i), tf = number of matches (we weight each sloppy match 1,
+  a documented simplification of Lucene's 1/(distance+1) sloppy-freq — both
+  sides of every rank-identity test share it).
+* ``wildcard`` / ``regex`` / ``fuzzy`` atoms expand against the dictionary of
+  the ``ws``-analyzed field (the reference flips default field to ``text_ws``
+  for wildcards, `SolrServiceImpl.java:434`) and score constant 1.0 per doc
+  (Lucene CONSTANT_SCORE multi-term rewrite, the Solr 8 default).
+* ``tf_sort`` ranks by raw term frequency desc then ``ts`` desc — Solr's
+  ``sort=termfreq(text,t) desc, date desc`` (`SolrClientTool.java:147-151`).
+* ``filter_docs`` / ``ts_after`` / ``require_no_tool`` are non-scoring ``fq``
+  predicates (`SolrClientTool.java:273,317`; `-pmid_supporting:*` analogue
+  `SolrServiceImpl.java:88`).
+
+Tiebreak everywhere: score desc, then (conv_id asc, turn_idx asc) — i.e. doc
+key ascending with numeric turn index.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from datetime import datetime
+
+KINDS = ("term", "and", "or_groups", "phrase", "proximity", "wildcard", "regex", "fuzzy", "tf_sort")
+
+
+@dataclass
+class Query:
+    query_id: str
+    kind: str
+    groups: list[list[str]]
+    slop: int = 0
+    k: int = 10
+    filter_docs: list[str] | None = None
+    ts_after: datetime | None = None
+    require_no_tool: bool = False
+    analyzer: str = "standard"
+
+    def __post_init__(self) -> None:
+        if self.kind not in KINDS:
+            raise ValueError(f"unknown query kind {self.kind!r}")
+
+    @property
+    def effective_analyzer(self) -> str:
+        # wildcard/regex/fuzzy run against the whitespace field, like the
+        # reference flipping default field to text_ws (SolrServiceImpl.java:434)
+        if self.kind in ("wildcard", "regex", "fuzzy"):
+            return "ws"
+        return self.analyzer
+
+
+def doc_key(doc: str) -> tuple[str, int]:
+    """Canonical tiebreak key for docID 'conv_id:turn_idx'."""
+    conv, _, turn = doc.rpartition(":")
+    return (conv, int(turn))

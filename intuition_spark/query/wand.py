@@ -1,0 +1,218 @@
+"""Block-max WAND top-k scorer over compressed posting blocks.
+
+The pruning the reference gets for free from Lucene 8's internal WAND
+(SURVEY.md §4: "not in Catalyst — implement as a mapPartitions scorer over
+block-compressed postings with per-block max-score metadata").
+
+Distribution model: the index is segmented by document (builder.py), so every
+segment holds the *complete* posting lists of its docs. Each segment is scored
+independently (one Arrow group per segment, no query-time shuffle of
+postings), producing a local top-k; the global top-k is the merge of segment
+top-ks — identical to exhaustive scoring because block skipping only uses
+valid upper bounds (Σ per-group idf·max_impact of overlapping blocks).
+
+Query semantics are the shared AST ones: AND of OR-groups, every group must
+match, score = Σ BM25 over all matched terms. The driver group (smallest
+segment-local df) enumerates candidate ranges; blocks are decoded lazily and
+memoized. Everything inside is numpy — no per-row Python at the Spark
+boundary (pandas in, pandas out).
+"""
+
+from __future__ import annotations
+
+import heapq
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from intuition_spark.index import codec
+
+K1 = 1.2
+B = 0.75
+
+
+@dataclass
+class TermBlocks:
+    """All posting blocks of one term within one segment (sorted by first_doc)."""
+
+    term: str
+    gid: int
+    idf: float
+    first: np.ndarray  # int64 per block
+    last: np.ndarray
+    max_impact: np.ndarray  # float64 per block
+    docs_bin: list[bytes]
+    tfs_bin: list[bytes]
+    dls_bin: list[bytes]
+    ns: np.ndarray
+    _decoded: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] | None = None
+
+    def decode(self, bi: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        if self._decoded is None:
+            self._decoded = {}
+        got = self._decoded.get(bi)
+        if got is None:
+            n = int(self.ns[bi])
+            docs = codec.delta_decode(self.docs_bin[bi], n)
+            tfs = codec.varint_decode(self.tfs_bin[bi], n).astype(np.float64)
+            dls = codec.varint_decode(self.dls_bin[bi], n).astype(np.float64)
+            got = (docs, tfs, dls)
+            self._decoded[bi] = got
+        return got
+
+    def docs_scores_in_range(self, lo: int, hi: int, avgdl: float) -> tuple[np.ndarray, np.ndarray]:
+        """(docs, idf·bm25 weights) for this term's postings with lo ≤ doc ≤ hi."""
+        b0 = int(np.searchsorted(self.last, lo, side="left"))
+        b1 = int(np.searchsorted(self.first, hi, side="right"))
+        if b0 >= b1:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        ds, ws = [], []
+        for bi in range(b0, b1):
+            docs, tfs, dls = self.decode(bi)
+            i0, i1 = np.searchsorted(docs, [lo, hi + 1])
+            if i0 == i1:
+                continue
+            d = docs[i0:i1]
+            tf = tfs[i0:i1]
+            dl = dls[i0:i1]
+            w = self.idf * tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+            ds.append(d)
+            ws.append(w)
+        if not ds:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        return np.concatenate(ds).astype(np.int64), np.concatenate(ws)
+
+    def max_impact_in_range(self, lo: int, hi: int) -> float:
+        b0 = int(np.searchsorted(self.last, lo, side="left"))
+        b1 = int(np.searchsorted(self.first, hi, side="right"))
+        if b0 >= b1:
+            return 0.0
+        return float(self.max_impact[b0:b1].max()) * self.idf
+
+
+def _group_ub(terms: list[TermBlocks], lo: int, hi: int) -> float:
+    """Upper bound of a group's contribution in a doc range: OR sums matched
+    clauses, so the bound is the SUM of each member term's block-max."""
+    return sum(t.max_impact_in_range(lo, hi) for t in terms)
+
+
+def score_segment_topk(
+    term_blocks: list[TermBlocks],
+    n_groups: int,
+    k: int,
+    avgdl: float,
+    prune: bool = True,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Top-k (doc_ids, scores) for one segment. With prune=False this is the
+    exhaustive scorer (used for the WAND≡exhaustive identity test)."""
+    groups: dict[int, list[TermBlocks]] = {}
+    for tb in term_blocks:
+        groups.setdefault(tb.gid, []).append(tb)
+    if len(groups) < n_groups:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+
+    # driver group = fewest segment-local postings (df-ascending ordering,
+    # SURVEY.md §4 "order joins smallest-df-first")
+    def group_df(ts: list[TermBlocks]) -> int:
+        return int(sum(t.ns.sum() for t in ts))
+
+    driver_gid = min(groups, key=lambda g: group_df(groups[g]))
+    driver = groups[driver_gid]
+
+    # candidate ranges = driver group's blocks, merged across its terms
+    ranges = sorted(
+        (int(t.first[i]), int(t.last[i])) for t in driver for i in range(len(t.first))
+    )
+    merged: list[list[int]] = []
+    for lo, hi in ranges:
+        if merged and lo <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], hi)
+        else:
+            merged.append([lo, hi])
+
+    # impact-ordered range processing with threshold pruning
+    scored_ranges = []
+    for lo, hi in merged:
+        ubs = [_group_ub(ts, lo, hi) for ts in groups.values()]
+        if any(u <= 0.0 for u in ubs):  # a required group can't match here
+            continue
+        scored_ranges.append((sum(ubs), lo, hi))
+    scored_ranges.sort(reverse=True)
+
+    heap: list[tuple[float, int]] = []  # (score, -doc) min-heap of top-k
+    for ub, lo, hi in scored_ranges:
+        if prune and len(heap) >= k and ub <= heap[0][0]:
+            break  # impact-ordered: no remaining range can beat the threshold
+        # exact evaluation of the range
+        cand: np.ndarray | None = None
+        per_group: list[tuple[np.ndarray, np.ndarray]] = []
+        for gid, ts in groups.items():
+            gd: dict = {}
+            docs_list, w_list = [], []
+            for t in ts:
+                d, w = t.docs_scores_in_range(lo, hi, avgdl)
+                docs_list.append(d)
+                w_list.append(w)
+            d = np.concatenate(docs_list)
+            w = np.concatenate(w_list)
+            if d.size == 0:
+                cand = np.empty(0, np.int64)
+                break
+            # sum weights per doc (OR = sum of matched clauses)
+            order = np.argsort(d, kind="stable")
+            d, w = d[order], w[order]
+            uniq, starts = np.unique(d, return_index=True)
+            sums = np.add.reduceat(w, starts)
+            per_group.append((uniq, sums))
+            cand = uniq if cand is None else cand[np.isin(cand, uniq, assume_unique=True)]
+        if cand is None or cand.size == 0:
+            continue
+        total = np.zeros(cand.size, np.float64)
+        for uniq, sums in per_group:
+            idx = np.searchsorted(uniq, cand)
+            total += sums[idx]
+        for doc, sc in zip(cand.tolist(), total.tolist()):
+            if len(heap) < k:
+                heapq.heappush(heap, (sc, -doc))
+            elif (sc, -doc) > heap[0]:
+                heapq.heapreplace(heap, (sc, -doc))
+    if not heap:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    heap.sort(reverse=True)
+    docs = np.array([-d for _, d in heap], dtype=np.int64)
+    scores = np.array([s for s, _ in heap], dtype=np.float64)
+    return docs, scores
+
+
+def make_segment_scorer(
+    term_meta: dict[str, tuple[int, float]], n_groups: int, k: int, avgdl: float, prune: bool
+):
+    """applyInPandas fn over seg: block rows → local top-k (doc_id, score).
+
+    term_meta: term -> (gid, idf) — broadcast-small, closed over.
+    """
+
+    def scorer(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tbs = []
+        for term, tdf in pdf.groupby("term", sort=False):
+            gid, idf = term_meta[term]
+            tdf = tdf.sort_values("blk")
+            tbs.append(
+                TermBlocks(
+                    term=term,
+                    gid=gid,
+                    idf=idf,
+                    first=tdf["first_doc"].to_numpy(np.int64),
+                    last=tdf["last_doc"].to_numpy(np.int64),
+                    max_impact=tdf["max_impact"].to_numpy(np.float64),
+                    docs_bin=list(tdf["docs_bin"]),
+                    tfs_bin=list(tdf["tfs_bin"]),
+                    dls_bin=list(tdf["dls_bin"]),
+                    ns=tdf["n"].to_numpy(np.int64),
+                )
+            )
+        docs, scores = score_segment_topk(tbs, n_groups, k, avgdl, prune=prune)
+        return pd.DataFrame({"doc_id": docs, "score": scores})
+
+    return scorer

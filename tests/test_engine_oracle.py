@@ -1,0 +1,111 @@
+"""Rank-identity: the distributed engine vs the pure-Python exhaustive oracle
+(SURVEY.md §5.2 layer 3) — top-k docIDs identical, scores within 1e-6, on the
+reference query set over the deterministic synthetic corpus."""
+
+import os
+
+import pytest
+
+from intuition_spark.corpus import generate_transcripts, reference_queries
+from intuition_spark.index.builder import build_index
+from intuition_spark.oracle.bm25_oracle import build_oracle_index, oracle_search
+from intuition_spark.query.engine import SearchEngine
+
+N_TURNS = 2000
+
+
+@pytest.fixture(scope="module")
+def corpus_tbl():
+    return generate_transcripts(N_TURNS, max_tokens=60)
+
+
+@pytest.fixture(scope="module")
+def oracle_ix(corpus_tbl):
+    rows = corpus_tbl.to_pylist()
+    return {
+        "standard": build_oracle_index(rows, "standard"),
+        "ws": build_oracle_index(rows, "ws"),
+    }
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_root, corpus_tbl):
+    src = os.path.join(tmp_root, "corpus.parquet")
+    import pyarrow.parquet as pq
+
+    pq.write_table(corpus_tbl, src)
+    df = spark.read.parquet(src)
+    std = build_index(spark, df, os.path.join(tmp_root, "ix_std"), analyzer="standard", n_segments=4)
+    ws = build_index(spark, df, os.path.join(tmp_root, "ix_ws"), analyzer="ws", n_segments=4)
+    return SearchEngine(spark, {"standard": std.root, "ws": ws.root})
+
+
+def _run_and_compare(engine, oracle_ix, q, mode):
+    expected = oracle_search(oracle_ix[q.effective_analyzer], q)
+    got = [(r["doc"], r["score"]) for r in engine.search(q, mode=mode).collect()]
+    assert len(got) == len(expected), f"{q.query_id} [{mode}]: {len(got)} vs {len(expected)} hits"
+    for i, ((gd, gs), (ed, es)) in enumerate(zip(got, expected)):
+        assert gd == ed, f"{q.query_id} [{mode}] rank {i}: {gd} != {ed}\n got={got}\n exp={expected}"
+        assert abs(gs - es) < 1e-6, f"{q.query_id} [{mode}] rank {i}: score {gs} vs {es}"
+
+
+QUERIES = {q.query_id: q for q in reference_queries(k=10)}
+
+
+@pytest.mark.parametrize("qid", ["term_01", "term_08", "term_10", "term_16", "term_00"])
+def test_term_queries(engine, oracle_ix, qid):
+    _run_and_compare(engine, oracle_ix, QUERIES[qid], "exhaustive")
+    _run_and_compare(engine, oracle_ix, QUERIES[qid], "wand")
+
+
+@pytest.mark.parametrize("qid", ["and_00", "and_01", "and_04", "and_08"])
+def test_and_queries(engine, oracle_ix, qid):
+    _run_and_compare(engine, oracle_ix, QUERIES[qid], "exhaustive")
+    _run_and_compare(engine, oracle_ix, QUERIES[qid], "wand")
+
+
+@pytest.mark.parametrize("qid", ["or_00", "or_01", "or_03", "or_06"])
+def test_or_group_queries(engine, oracle_ix, qid):
+    _run_and_compare(engine, oracle_ix, QUERIES[qid], "exhaustive")
+    _run_and_compare(engine, oracle_ix, QUERIES[qid], "wand")
+
+
+@pytest.mark.parametrize("qid", ["phrase_00", "phrase_01", "phrase_03", "phrase_04"])
+def test_phrase_queries(engine, oracle_ix, qid):
+    _run_and_compare(engine, oracle_ix, QUERIES[qid], "exhaustive")
+
+
+@pytest.mark.parametrize("qid", ["prox_00", "prox_02", "prox_05"])
+def test_proximity_queries(engine, oracle_ix, qid):
+    _run_and_compare(engine, oracle_ix, QUERIES[qid], "exhaustive")
+
+
+@pytest.mark.parametrize("qid", ["wild_00", "wild_01", "wild_02"])
+def test_wildcard_queries(engine, oracle_ix, qid):
+    _run_and_compare(engine, oracle_ix, QUERIES[qid], "auto")
+
+
+@pytest.mark.parametrize("qid", ["tfsort_00", "tfsort_01"])
+def test_tf_sort_queries(engine, oracle_ix, qid):
+    q = QUERIES[qid]
+    expected = oracle_search(oracle_ix[q.effective_analyzer], q)
+    got = [(r["doc"], r["score"]) for r in engine.search(q).collect()]
+    assert [d for d, _ in got] == [d for d, _ in expected]
+    assert [s for _, s in got] == [s for _, s in expected]
+
+
+def test_per_turn_text_invariant(spark, engine, corpus_tbl):
+    """Driver-mandated invariant: stored per-turn text equals the source under
+    stable (conv_id, turn_idx) ordering."""
+    src = corpus_tbl.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    stored = (
+        spark.read.parquet(engine.paths["standard"].docs)
+        .select("conv_id", "turn_idx", "text")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(src) == len(stored)
+    assert (src["conv_id"] == stored["conv_id"]).all()
+    assert (src["turn_idx"].astype(int) == stored["turn_idx"].astype(int)).all()
+    assert (src["text"] == stored["text"]).all()
