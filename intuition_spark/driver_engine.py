@@ -38,7 +38,12 @@ def documents_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def get_documents_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
-    key = f"{os.path.basename(os.path.normpath(sf_dir))}_{st.st_size}_{int(st.st_mtime)}"
+    from intuition_spark.index.builder import LAYOUT_VERSION
+
+    key = (
+        f"{os.path.basename(os.path.normpath(sf_dir))}_{st.st_size}_{int(st.st_mtime)}"
+        f"_v{LAYOUT_VERSION}"
+    )
     if key in _ENGINES:
         return _ENGINES[key]
     ix_dir = f"/tmp/intuition_spark_gate/ix_ws_{key}"
@@ -113,3 +118,71 @@ def fts_engine_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = Query("gate_phrase", "phrase", [["table part"]], k=1_000_000, analyzer="ws")
     hits = eng.search(q, mode="exhaustive")
     return hits.select("doc", F.round("score", 4).alias("score"))
+
+
+@register(
+    "fts_engine_proximity",
+    f"""
+WITH {_BM25_CTES},
+a AS (SELECT doc_id, pos FROM toks WHERE term = 'hash'),
+b AS (SELECT doc_id, pos FROM toks WHERE term = 'merge'),
+ptf AS (SELECT a.doc_id, count(*) AS tf FROM a
+        WHERE EXISTS (SELECT 1 FROM b
+                      WHERE b.doc_id = a.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 6)
+        GROUP BY a.doc_id),
+dfs AS (SELECT
+    (SELECT count(DISTINCT doc_id) FROM a) AS df_a,
+    (SELECT count(DISTINCT doc_id) FROM b) AS df_b)
+SELECT p.doc_id || ':0' AS doc,
+       round( ( ln(1 + (c.n - d.df_a + 0.5) / (d.df_a + 0.5))
+              + ln(1 + (c.n - d.df_b + 0.5) / (d.df_b + 0.5)) )
+              * p.tf * ({K1} + 1.0)
+              / (p.tf + {K1} * (1.0 - {B} + {B} * s.dl / c.avgdl)), 4) AS score
+FROM ptf p JOIN doc_stats s USING(doc_id) CROSS JOIN corpus c CROSS JOIN dfs d
+""",
+)
+def fts_engine_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sloppy phrase "hash merge"~5 through the engine's positional path; the
+    oracle mirrors the engine's match-count semantics (each occurrence of the
+    first term matches if the second follows within the window)."""
+    eng = get_documents_engine(spark, sf_dir)
+    q = Query("gate_prox", "proximity", [["hash merge"]], slop=5, k=1_000_000, analyzer="ws")
+    hits = eng.search(q, mode="exhaustive")
+    return hits.select("doc", F.round("score", 4).alias("score"))
+
+
+@register(
+    "fts_engine_tf_sort",
+    f"""
+WITH {_BM25_CTES},
+tf AS (SELECT doc_id, count(*) AS tf FROM toks WHERE term = 'value' GROUP BY doc_id)
+SELECT doc_id || ':0' AS doc, CAST(tf AS DOUBLE) AS score
+FROM tf
+ORDER BY tf DESC, CAST(doc_id AS VARCHAR) LIMIT 20
+""",
+)
+def fts_engine_tf_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 termfreq ranking through the engine (tf decoded from varint blocks).
+    ts is constant across gate docs, so the tiebreak is conv_id (string) asc —
+    mirrored by CAST(doc_id AS VARCHAR) in the oracle."""
+    eng = get_documents_engine(spark, sf_dir)
+    q = Query("gate_tf", "tf_sort", [["value"]], k=20, analyzer="ws")
+    return eng.search(q).select("doc", "score")
+
+
+@register(
+    "fts_engine_spell",
+    f"""
+WITH {_BM25_CTES}
+SELECT term, count(*) AS df FROM (
+  SELECT DISTINCT doc_id, term FROM toks WHERE term <> ''
+) GROUP BY term HAVING levenshtein(term, 'tble') <= 1
+""",
+)
+def fts_engine_spell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 spell-suggest via the engine's REAL dictionary table (fuzzy
+    expansion by length-bucketed Levenshtein scan)."""
+    eng = get_documents_engine(spark, sf_dir)
+    terms = eng.expand_dictionary("ws", "tble", "fuzzy")
+    dic = spark.read.parquet(eng.paths["ws"].dictionary)
+    return dic.filter(F.col("term").isin(terms)).select("term", "df")

@@ -512,3 +512,202 @@ def rel_so2_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = e.filter(F.col("event_type") == "click").select("user_id")
     b = e.filter(F.col("event_type") == "error").select("user_id")
     return a.intersect(b)
+
+
+# --------------------------------------------------------------------------
+# Q7/Q20: fuzzy term expansion (Levenshtein ≤ 1) → doc set
+# (GeneMINDImpl.wildcard fuzzy, MIND/GeneMINDImpl.java:74-83; SpellChecking.java)
+# --------------------------------------------------------------------------
+@register(
+    "fts_q7_fuzzy",
+    f"""
+WITH {_TOKS_CTE}
+SELECT DISTINCT doc_id FROM toks WHERE levenshtein(term, 'tble') <= 1
+""",
+)
+def fts_q7_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _tokens(spark, sf_dir)
+        .filter(F.levenshtein(F.col("term"), F.lit("tble")) <= 1)
+        .select("doc_id")
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# P2: non-scoring fq candidate filter — BM25 stats stay global, the filter
+# only restricts the result set (SolrClientTool.java:273,317)
+# --------------------------------------------------------------------------
+@register(
+    "fts_q9_filtered",
+    f"""
+WITH {_BM25_CTES},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term = 'stream'
+       GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT tf.doc_id,
+       round( ln(1 + (c.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({K1} + 1.0)
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * s.dl / c.avgdl)), 4) AS score
+FROM tf JOIN df USING(term) JOIN doc_stats s USING(doc_id) CROSS JOIN corpus c
+JOIN documents d ON d.doc_id = tf.doc_id
+WHERE d.lang = 'en'
+""",
+)
+def fts_q9_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tf, stats, idf = _bm25_parts(spark, sf_dir, ["stream"])
+    en_docs = _read(spark, sf_dir, "documents").filter(F.col("lang") == "en").select("doc_id")
+    return (
+        tf.join(F.broadcast(idf), "term")
+        .join(stats, "doc_id")
+        .select("doc_id", F.round(_bm25_score_col(), 4).alias("score"))
+        .join(en_docs, "doc_id", "left_semi")
+    )
+
+
+# --------------------------------------------------------------------------
+# F6: synonym-ring expansion — OR of synonyms, sum of matched contributions
+# (AminoAcids.mutationSynonym / Target.synonyms, AnalyticsServiceImpl.java:206-227)
+# --------------------------------------------------------------------------
+@register(
+    "fts_synonyms",
+    f"""
+WITH {_BM25_CTES},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term IN ('scan','filter','sort')
+       GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT tf.doc_id,
+       round(sum( ln(1 + (c.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({K1} + 1.0)
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * s.dl / c.avgdl)) ), 4) AS score
+FROM tf JOIN df USING(term) JOIN doc_stats s USING(doc_id) CROSS JOIN corpus c
+GROUP BY tf.doc_id
+""",
+)
+def fts_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    terms = ["scan", "filter", "sort"]  # one synonym ring, expanded query-side
+    tf, stats, idf = _bm25_parts(spark, sf_dir, terms)
+    return (
+        tf.join(F.broadcast(idf), "term")
+        .join(stats, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(_bm25_score_col()), 4).alias("score"))
+    )
+
+
+# --------------------------------------------------------------------------
+# SO3: set difference (kinases.removeAll(receptors), TestMIND.java:84-93)
+# --------------------------------------------------------------------------
+@register(
+    "rel_so3_except",
+    """
+SELECT user_id FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT user_id FROM events
+WHERE event_type = 'error' AND ts < TIMESTAMP '2024-01-03 00:00:00'
+""",
+)
+def rel_so3_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _read(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "click").select("user_id")
+    b = e.filter(
+        (F.col("event_type") == "error")
+        & (F.col("ts") < F.lit("2024-01-03 00:00:00").cast("timestamp"))
+    ).select("user_id")
+    return a.subtract(b)  # EXCEPT (set semantics), matching SQL EXCEPT
+
+
+# --------------------------------------------------------------------------
+# A6: distinct counts (unique journals / gene symbols, Test1.java:334-342)
+# --------------------------------------------------------------------------
+@register(
+    "rel_a6_distinct",
+    """
+SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+FROM events GROUP BY event_type
+""",
+)
+def rel_a6_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _read(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"), F.count("*").alias("n_events"))
+    )
+
+
+# --------------------------------------------------------------------------
+# F1-F12 scalar family: lower/split/levenshtein/least (SURVEY §2.10)
+# --------------------------------------------------------------------------
+@register(
+    "rel_f_scalar",
+    """
+SELECT p_partkey,
+       lower(p_name) AS name_lc,
+       split_part(p_type, ' ', 1) AS type_head,
+       levenshtein(p_brand, 'Brand#11') AS brand_dist,
+       least(p_size, 25) AS size_capped
+FROM part WHERE p_partkey <= 200
+""",
+)
+def rel_f_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _read(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200)
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lc"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+        F.levenshtein(F.col("p_brand"), F.lit("Brand#11")).alias("brand_dist"),
+        F.least(F.col("p_size"), F.lit(25)).alias("size_capped"),
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash signatures (training-data dedup): md5-based min-hash per band —
+# deterministic across engines, the LSH banding primitive
+# --------------------------------------------------------------------------
+@register(
+    "dedup_minhash_sigs",
+    f"""
+WITH {_TOKS_CTE},
+dt AS (SELECT DISTINCT doc_id, term FROM toks WHERE term <> '')
+SELECT doc_id,
+       min(md5('0|' || term)) AS sig0,
+       min(md5('1|' || term)) AS sig1,
+       min(md5('2|' || term)) AS sig2,
+       min(md5('3|' || term)) AS sig3
+FROM dt GROUP BY doc_id
+""",
+)
+def dedup_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dt = _tokens(spark, sf_dir).select("doc_id", "term").distinct()
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("term")))).alias(f"sig{j}") for j in range(4)
+    ]
+    return dt.groupBy("doc_id").agg(*aggs)
+
+
+# --------------------------------------------------------------------------
+# Similarity search: exact cosine top-k over the embeddings table
+# --------------------------------------------------------------------------
+@register(
+    "sim_cosine_topk",
+    """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+              generate_subscripts(embedding, 1) AS i FROM e),
+qx AS (SELECT CAST(unnest(qv) AS DOUBLE) AS qv_x, generate_subscripts(qv, 1) AS i FROM q),
+dots AS (SELECT vec_id, sum(x * qv_x) AS dot, sum(x * x) AS nx
+         FROM ex JOIN qx USING(i) GROUP BY vec_id),
+qn AS (SELECT sqrt(sum(qv_x * qv_x)) AS nq FROM qx)
+SELECT vec_id, round(dot / (sqrt(nx) * nq), 4) AS cosine
+FROM dots CROSS JOIN qn
+ORDER BY cosine DESC, vec_id LIMIT 10
+""",
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from intuition_spark.functions.similarity import brute_force_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    out = brute_force_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10)
+    return out.select("vec_id", F.round("cosine", 4).alias("cosine"))

@@ -47,12 +47,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from intuition_spark.analysis.analyzers import analyze_text, make_terms_udf
+from intuition_spark.analysis.analyzers import analyze_text
 from intuition_spark.index import codec
 
 SEG_SHIFT = 40  # doc_id = (seg << 40) | row_in_segment
 K1 = 1.2
 B = 0.75
+LAYOUT_VERSION = 2  # bump when the on-disk block schema changes
 
 BLOCK_SCHEMA = T.StructType(
     [
@@ -63,7 +64,10 @@ BLOCK_SCHEMA = T.StructType(
         T.StructField("last_doc", T.LongType()),
         T.StructField("tf_sum", T.LongType()),
         T.StructField("max_tf", T.IntegerType()),
-        T.StructField("max_impact", T.DoubleType()),
+        # block-max metadata: the BM25 weight bound for any avgdl is reached at
+        # (max_tf, min_dl) — storing the pair instead of a precomputed impact
+        # makes the build single-pass (no avgdl needed before encoding)
+        T.StructField("min_dl", T.IntegerType()),
         T.StructField("docs_bin", T.BinaryType()),
         T.StructField("tfs_bin", T.BinaryType()),
         T.StructField("dls_bin", T.BinaryType()),
@@ -137,36 +141,105 @@ def _make_tokenize_partition(analyzer: str, with_positions: bool):
     return tokenize_partition
 
 
-def _make_encode_blocks(avgdl: float, with_positions: bool):
-    """applyInPandas fn over (seg, term): posting rows → block rows."""
+_EMPTY_BLOCKS = pd.DataFrame(
+    {
+        "term": pd.array([], dtype=object), "blk": pd.array([], dtype="int32"),
+        "n": pd.array([], dtype="int32"), "first_doc": pd.array([], dtype="int64"),
+        "last_doc": pd.array([], dtype="int64"), "tf_sum": pd.array([], dtype="int64"),
+        "max_tf": pd.array([], dtype="int32"), "min_dl": pd.array([], dtype="int32"),
+        "docs_bin": pd.array([], dtype=object), "tfs_bin": pd.array([], dtype=object),
+        "dls_bin": pd.array([], dtype=object), "pos_bin": pd.array([], dtype=object),
+        "seg": pd.array([], dtype="int32"),
+    }
+)
 
-    def encode_blocks(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        seg, term = int(key[0]), key[1]
-        pdf = pdf.sort_values("doc_id")
+
+def _make_encode_bucket(with_positions: bool):
+    """applyInPandas fn over (seg, term-hash-bucket): posting rows → block rows.
+
+    One group holds MANY terms (bucket = pmod(xxhash64(term), n_buckets)), so
+    the per-group Arrow overhead amortizes across thousands of postings; the
+    encoding itself is a single vectorized numpy pass over the whole bucket —
+    per-value varint bytes are computed once and sliced at block boundaries.
+    """
+
+    def encode_bucket(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n == 0:
+            return _EMPTY_BLOCKS
+        seg = int(key[0])
+        pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
+        terms = pdf["term"].to_numpy(object)
         doc = pdf["doc_id"].to_numpy(np.int64)
         tf = pdf["tf"].to_numpy(np.int64)
         dl = pdf["dl"].to_numpy(np.int64)
-        pos = pdf["positions"].to_numpy() if with_positions else None
-        impact = tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
-        rows = []
-        for blk, s in enumerate(range(0, len(doc), codec.BLOCK_SIZE)):
-            e = min(s + codec.BLOCK_SIZE, len(doc))
-            rows.append(
-                {
-                    "term": term, "blk": blk, "n": e - s,
-                    "first_doc": int(doc[s]), "last_doc": int(doc[e - 1]),
-                    "tf_sum": int(tf[s:e].sum()), "max_tf": int(tf[s:e].max()),
-                    "max_impact": float(impact[s:e].max()),
-                    "docs_bin": codec.delta_encode(doc[s:e]),
-                    "tfs_bin": codec.varint_encode(tf[s:e]),
-                    "dls_bin": codec.varint_encode(dl[s:e]),
-                    "pos_bin": codec.encode_positions(list(pos[s:e])) if with_positions else None,
-                    "seg": seg,
-                }
-            )
-        return pd.DataFrame(rows)
 
-    return encode_blocks
+        term_change = np.empty(n, dtype=bool)
+        term_change[0] = True
+        term_change[1:] = terms[1:] != terms[:-1]
+        term_starts = np.flatnonzero(term_change)
+        term_idx = np.cumsum(term_change) - 1
+        idx_in_term = np.arange(n) - term_starts[term_idx]
+        blk_of_row = idx_in_term // codec.BLOCK_SIZE
+        is_blk_start = idx_in_term % codec.BLOCK_SIZE == 0
+        bstarts = np.flatnonzero(is_blk_start)
+        bends = np.concatenate((bstarts[1:], [n]))
+
+        # doc gaps: delta within a block, absolute at each block start
+        gaps = np.empty(n, dtype=np.int64)
+        gaps[0] = doc[0]
+        gaps[1:] = doc[1:] - doc[:-1]
+        gaps[bstarts] = doc[bstarts]
+        docs_buf, docs_len = codec.varint_encode_with_lengths(gaps.astype(np.uint64))
+        tfs_buf, tfs_len = codec.varint_encode_with_lengths(tf.astype(np.uint64))
+        dls_buf, dls_len = codec.varint_encode_with_lengths(dl.astype(np.uint64))
+        docs_off = np.concatenate(([0], np.cumsum(docs_len)))
+        tfs_off = np.concatenate(([0], np.cumsum(tfs_len)))
+        dls_off = np.concatenate(([0], np.cumsum(dls_len)))
+
+        if with_positions:
+            pos_lists = pdf["positions"].to_numpy(object)
+            flat = (
+                np.concatenate([np.asarray(p, dtype=np.int64) for p in pos_lists])
+                if n
+                else np.empty(0, np.int64)
+            )
+            val_off = np.concatenate(([0], np.cumsum(tf)))  # value range per row
+            pdeltas = flat.copy()
+            if flat.size:
+                pdeltas[1:] = flat[1:] - flat[:-1]
+                pdeltas[val_off[:-1]] = flat[val_off[:-1]]  # absolute at doc starts
+            pos_buf, pos_len = codec.varint_encode_with_lengths(pdeltas.astype(np.uint64))
+            pos_byte_off = np.concatenate(([0], np.cumsum(pos_len)))
+
+        tf_sum = np.add.reduceat(tf, bstarts)
+        max_tf = np.maximum.reduceat(tf, bstarts)
+        min_dl = np.minimum.reduceat(dl, bstarts)
+        out = {
+            "term": terms[bstarts],
+            "blk": blk_of_row[bstarts].astype(np.int32),
+            "n": (bends - bstarts).astype(np.int32),
+            "first_doc": doc[bstarts],
+            "last_doc": doc[bends - 1],
+            "tf_sum": tf_sum,
+            "max_tf": max_tf.astype(np.int32),
+            "min_dl": min_dl.astype(np.int32),
+            "docs_bin": [docs_buf[docs_off[s] : docs_off[e]] for s, e in zip(bstarts, bends)],
+            "tfs_bin": [tfs_buf[tfs_off[s] : tfs_off[e]] for s, e in zip(bstarts, bends)],
+            "dls_bin": [dls_buf[dls_off[s] : dls_off[e]] for s, e in zip(bstarts, bends)],
+            "pos_bin": (
+                [
+                    pos_buf[pos_byte_off[val_off[s]] : pos_byte_off[val_off[e]]]
+                    for s, e in zip(bstarts, bends)
+                ]
+                if with_positions
+                else [None] * len(bstarts)
+            ),
+            "seg": np.full(len(bstarts), seg, dtype=np.int32),
+        }
+        return pd.DataFrame(out)
+
+    return encode_bucket
 
 
 def prepare_docs(
@@ -175,14 +248,18 @@ def prepare_docs(
     paths: IndexPaths,
     analyzer: str = "standard",
     n_segments: int = 8,
+    seg_offset: int = 0,
 ) -> dict:
-    """Stage 1: assign segments + dense doc ids, compute doc lengths, write docs table."""
+    """Stage 1: assign segments + dense doc ids, write the docs table.
+
+    ``seg_offset`` places the new segments above an existing index's ids —
+    used by incremental.merge_delta so delta blocks are encoded directly in
+    their final doc-id namespace (ids are baked into the compressed streams).
+    """
     t0 = time.time()
-    terms_udf = make_terms_udf(analyzer)
-    df = (
-        transcripts.select("conv_id", "turn_idx", "role", "tool", "ts", "text")
-        .withColumn("seg", F.pmod(F.xxhash64("conv_id"), F.lit(n_segments)).cast("int"))
-        .withColumn("dl", F.size(terms_udf(F.col("text"))))
+    df = transcripts.select("conv_id", "turn_idx", "role", "tool", "ts", "text").withColumn(
+        "seg",
+        (F.pmod(F.xxhash64("conv_id"), F.lit(n_segments)) + F.lit(seg_offset)).cast("int"),
     )
     w = Window.partitionBy("seg").orderBy("conv_id", "turn_idx")
     df = df.withColumn(
@@ -191,16 +268,16 @@ def prepare_docs(
     ).withColumn("doc", F.concat_ws(":", "conv_id", "turn_idx"))
     df.write.mode("overwrite").partitionBy("seg").parquet(paths.docs)
 
-    agg = spark.read.parquet(paths.docs).agg(
-        F.count("*").alias("N"), F.sum("dl").alias("total_dl")
-    ).collect()[0]
+    n_docs = spark.read.parquet(paths.docs).count()
     stats = {
-        "N": int(agg["N"]),
-        "avgdl": float(agg["total_dl"]) / max(1, int(agg["N"])),
+        "N": int(n_docs),
+        "avgdl": None,  # filled by build_dictionary (Σcf / N), not needed to encode
         "analyzer": analyzer,
         "n_segments": n_segments,
+        "seg_offset": seg_offset,
         "k1": K1,
         "b": B,
+        "layout_version": LAYOUT_VERSION,
         "docs_wall_s": round(time.time() - t0, 3),
     }
     with open(paths.stats, "w") as f:
@@ -230,11 +307,13 @@ def build_postings(
     """
     with open(paths.stats) as f:
         stats = json.load(f)
-    analyzer, avgdl, n_segments = stats["analyzer"], stats["avgdl"], stats["n_segments"]
+    analyzer, n_segments = stats["analyzer"], stats["n_segments"]
+    n_buckets = 64  # terms per (seg, bucket) group; amortizes Arrow group cost
 
+    seg_offset = stats.get("seg_offset", 0)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     done = _manifest_done_segs(spark, paths) if resume else set()
-    todo = [s for s in range(n_segments) if s not in done]
+    todo = [s for s in range(seg_offset, seg_offset + n_segments) if s not in done]
 
     manifest_schema = T.StructType(
         [
@@ -254,9 +333,9 @@ def build_postings(
         batch_docs = docs.filter(F.col("seg").isin(batch)).select("seg", "doc_id", "text")
         posting_rows = batch_docs.mapInPandas(
             _make_tokenize_partition(analyzer, with_positions), POSTING_ROW_SCHEMA
-        )
-        blocks = posting_rows.groupBy("seg", "term").applyInPandas(
-            _make_encode_blocks(avgdl, with_positions), BLOCK_SCHEMA
+        ).withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+        blocks = posting_rows.groupBy("seg", "bucket").applyInPandas(
+            _make_encode_bucket(with_positions), BLOCK_SCHEMA
         )
         (
             blocks.repartition("seg")
@@ -272,16 +351,25 @@ def build_postings(
 
 
 def build_dictionary(spark: SparkSession, paths: IndexPaths) -> None:
-    """Stage 3: global (term, df, cf) from block metadata — no decode needed."""
+    """Stage 3: global (term, df, cf) from block metadata — no decode needed.
+    Also finalizes corpus stats: avgdl = Σcf / N (cf sums every kept token)."""
     blocks = spark.read.parquet(paths.postings)
     dic = blocks.groupBy("term").agg(
         F.sum("n").alias("df"),
         F.sum("tf_sum").alias("cf"),
-        F.max("max_impact").alias("max_impact"),
+        F.max("max_tf").alias("max_tf"),
     )
-    dic.repartitionByRange(max(1, dic.rdd.getNumPartitions() // 8), "term").sortWithinPartitions(
-        "term"
-    ).write.mode("overwrite").parquet(paths.dictionary)
+    dic.repartitionByRange(4, "term").sortWithinPartitions("term").write.mode(
+        "overwrite"
+    ).parquet(paths.dictionary)
+
+    total_tokens = spark.read.parquet(paths.dictionary).agg(F.sum("cf")).collect()[0][0] or 0
+    with open(paths.stats) as f:
+        stats = json.load(f)
+    stats["avgdl"] = float(total_tokens) / max(1, stats["N"])
+    stats["total_tokens"] = int(total_tokens)
+    with open(paths.stats, "w") as f:
+        json.dump(stats, f, indent=1)
 
 
 def build_index(

@@ -18,6 +18,34 @@ _U64 = np.uint64
 _SHIFTS = [_U64(7 * i) for i in range(10)]
 
 
+def varint_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode a uint64 array; also return per-value byte lengths so a
+    caller can slice the buffer into blocks without re-encoding (vectorized:
+    one pass per byte-position)."""
+    v = np.ascontiguousarray(values, dtype=_U64)
+    if v.size == 0:
+        return b"", np.empty(0, dtype=np.int64)
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    while True:
+        nz = tmp > 0
+        if not nz.any():
+            break
+        nbits[nz] += 7
+        tmp >>= _U64(7)
+    nbytes = np.maximum(nbits // 7, 1)
+    offsets = np.concatenate(([0], np.cumsum(nbytes)))
+    buf = np.zeros(int(offsets[-1]), dtype=np.uint8)
+    for i, shift in enumerate(_SHIFTS):
+        sel = nbytes > i
+        if not sel.any():
+            break
+        byte = ((v[sel] >> shift) & _U64(0x7F)).astype(np.uint8)
+        cont = (nbytes[sel] - 1 > i).astype(np.uint8) << 7
+        buf[offsets[:-1][sel] + i] = byte | cont
+    return buf.tobytes(), nbytes
+
+
 def varint_encode(values: np.ndarray) -> bytes:
     """LEB128-encode a uint64 array (vectorized: one pass per byte-position)."""
     v = np.ascontiguousarray(values, dtype=_U64)

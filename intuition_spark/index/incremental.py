@@ -1,0 +1,143 @@
+"""Incremental index maintenance: delta segments + tombstones + compaction.
+
+The reference refreshes by re-paging Mongo and delete-then-re-adding Solr docs
+every ~2 days (`SolrServiceImpl.updateSolrArticles` `:69-159`, delete-batch
+`:95-99`; scheduled wrapper `config/ScheduledTasks.java:58-85`). Lucene
+underneath appends new segments and marks old docs deleted until merge. We
+re-express exactly that model Spark-natively:
+
+* ``merge_delta`` — new/changed turns become NEW segments (ids above the
+  current max); superseded (conv_id, turn_idx) keys from old segments become
+  rows in a ``tombstones/`` table. Postings of old segments are never
+  rewritten on the hot path — a delta commit touches only its own partitions
+  plus the (tiny) tombstone and dictionary tables. At 10^12-turn scale this is
+  the only viable write path: a delta's cost is O(delta), not O(index).
+* query-time: scorers anti-join the (broadcast-small) tombstone set.
+* ``compact`` — rewrites segments to physically drop tombstoned docs
+  (Lucene's merge), restoring zero query-time overhead.
+
+Upsert semantics mirror Q13/W2 (version-max dedupe, `findArticle:498-517`):
+the latest write for a (conv_id, turn_idx) key wins.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from intuition_spark.index.builder import (
+    IndexPaths,
+    build_dictionary,
+    build_postings,
+    prepare_docs,
+)
+
+
+def tombstones_path(paths: IndexPaths) -> str:
+    return os.path.join(paths.root, "tombstones")
+
+
+def read_tombstones(spark: SparkSession, paths: IndexPaths) -> DataFrame | None:
+    p = tombstones_path(paths)
+    if not os.path.exists(p):
+        return None
+    return spark.read.parquet(p)
+
+
+def merge_delta(
+    spark: SparkSession,
+    paths: IndexPaths,
+    delta: DataFrame,
+    segs_per_job: int = 8,
+) -> dict:
+    """Append a delta of transcript rows to an existing index.
+
+    Returns {"new_segs": [...], "n_delta": int, "n_tombstoned": int}.
+    """
+    with open(paths.stats) as f:
+        stats = json.load(f)
+    analyzer = stats["analyzer"]
+    old_n_segments = stats["n_segments"]
+
+    delta = delta.select("conv_id", "turn_idx", "role", "tool", "ts", "text")
+    # version-max within the delta itself: last write wins (Q13/W2 analogue,
+    # deterministic via ts then text as final tiebreak)
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy(F.desc("ts"), F.desc("text"))
+    delta = delta.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    n_delta = delta.count()
+    if n_delta == 0:
+        return {"new_segs": [], "n_delta": 0, "n_tombstoned": 0}
+
+    # 1. tombstone superseded keys in existing docs
+    existing = spark.read.parquet(paths.docs)
+    superseded = existing.join(
+        delta.select("conv_id", "turn_idx"), ["conv_id", "turn_idx"], "left_semi"
+    ).select("doc_id", "conv_id", "turn_idx")
+    n_tomb = superseded.count()
+    if n_tomb:
+        superseded.write.mode("append").parquet(tombstones_path(paths))
+
+    # 2. build the delta as fresh segments DIRECTLY in the final doc-id
+    #    namespace (seg_offset places them above existing segment ids, so the
+    #    compressed streams bake in the right absolute ids), then graft the
+    #    seg-partition directories into the live index — an O(delta) append.
+    n_new_segs = max(1, min(segs_per_job, n_delta // 10_000 + 1))
+    scratch = IndexPaths(os.path.join(paths.root, "_delta_build"))
+    import shutil
+
+    shutil.rmtree(scratch.root, ignore_errors=True)
+    os.makedirs(scratch.root)
+    prepare_docs(
+        spark, delta, scratch, analyzer=analyzer, n_segments=n_new_segs,
+        seg_offset=old_n_segments,
+    )
+    build_postings(spark, scratch, segs_per_job=segs_per_job)
+
+    new_segs = list(range(old_n_segments, old_n_segments + n_new_segs))
+    spark.read.parquet(scratch.docs).write.mode("append").partitionBy("seg").parquet(paths.docs)
+    spark.read.parquet(scratch.postings).write.mode("append").partitionBy("seg").parquet(
+        paths.postings
+    )
+    # carry the delta's checkpoint rows so a later resume sees them as done
+    spark.read.parquet(scratch.manifest).write.mode("append").parquet(paths.manifest)
+    shutil.rmtree(scratch.root, ignore_errors=True)
+
+    stats["n_segments"] = old_n_segments + n_new_segs
+    with open(paths.stats, "w") as f:
+        json.dump(stats, f, indent=1)
+    build_dictionary(spark, paths)  # refresh (term, df, cf) + avgdl/N
+    n_total = spark.read.parquet(paths.docs).count()
+    stats = json.load(open(paths.stats))
+    stats["N"] = int(n_total)
+    with open(paths.stats, "w") as f:
+        json.dump(stats, f, indent=1)
+    return {"new_segs": new_segs, "n_delta": n_delta, "n_tombstoned": int(n_tomb)}
+
+
+def compact(spark: SparkSession, paths: IndexPaths, segs_per_job: int = 8) -> None:
+    """Physically drop tombstoned docs: rebuild docs + postings from the live
+    doc set (Lucene merge analogue). Dictionary and stats refresh too."""
+    tomb = read_tombstones(spark, paths)
+    docs = spark.read.parquet(paths.docs)
+    if tomb is not None:
+        docs = docs.join(tomb.select("doc_id"), "doc_id", "left_anti")
+    with open(paths.stats) as f:
+        stats = json.load(f)
+    live = docs.select("conv_id", "turn_idx", "role", "tool", "ts", "text")
+    # full rewrite into a fresh layout, then swap
+    import shutil
+
+    tmp = IndexPaths(paths.root + "_compacting")
+    shutil.rmtree(tmp.root, ignore_errors=True)
+    os.makedirs(tmp.root)
+    prepare_docs(spark, live, tmp, analyzer=stats["analyzer"], n_segments=stats["n_segments"])
+    build_postings(spark, tmp, segs_per_job=segs_per_job)
+    build_dictionary(spark, tmp)
+    old = paths.root + "_old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(paths.root, old)
+    os.rename(tmp.root, paths.root)
+    shutil.rmtree(old, ignore_errors=True)

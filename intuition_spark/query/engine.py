@@ -60,15 +60,33 @@ class SearchEngine:
     dual ``text`` / ``text_ws`` fields (`model/SolrItem.java:32-33`).
     """
 
-    def __init__(self, spark: SparkSession, index_dirs: dict[str, str] | str):
+    # dictionaries up to this many terms are cached driver-side: one parquet
+    # read at init instead of one lookup job per query (serving-path latency)
+    DICT_CACHE_MAX_TERMS = 2_000_000
+
+    def __init__(
+        self, spark: SparkSession, index_dirs: dict[str, str] | str, cache_dictionary: bool = True
+    ):
         if isinstance(index_dirs, str):
             index_dirs = {"standard": index_dirs}
         self.spark = spark
         self.paths: dict[str, IndexPaths] = {a: IndexPaths(d) for a, d in index_dirs.items()}
         self.stats: dict[str, dict] = {}
+        self._dict_cache: dict[str, dict[str, int]] = {}
         for a, p in self.paths.items():
             with open(p.stats) as f:
                 self.stats[a] = json.load(f)
+            if cache_dictionary:
+                dic = self.spark.read.parquet(p.dictionary).select("term", "df")
+                if dic.count() <= self.DICT_CACHE_MAX_TERMS:
+                    pdf = dic.toPandas()
+                    self._dict_cache[a] = dict(
+                        zip(pdf["term"], pdf["df"].astype(int), strict=True)
+                    )
+
+    def refresh(self) -> None:
+        """Reload stats + dictionary cache after incremental merges."""
+        self.__init__(self.spark, {a: p.root for a, p in self.paths.items()})
 
     # ---- helpers -------------------------------------------------------
     def _route(self, q: Query) -> str:
@@ -85,7 +103,28 @@ class SearchEngine:
     def _docs(self, a: str) -> DataFrame:
         return self.spark.read.parquet(self.paths[a].docs)
 
+    def _tombstones(self, a: str) -> np.ndarray:
+        """Sorted doc_ids deleted by incremental upserts (empty if none).
+        Cached per (analyzer, dir mtime) — the set is broadcast-small by
+        design (compaction bounds it)."""
+        import os as _os
+
+        p = _os.path.join(self.paths[a].root, "tombstones")
+        if not _os.path.exists(p):
+            return np.empty(0, dtype=np.int64)
+        mtime = _os.path.getmtime(p)
+        key = (a, mtime)
+        cached = getattr(self, "_tomb_cache", {}).get(key)
+        if cached is None:
+            ids = self.spark.read.parquet(p).select("doc_id").toPandas()["doc_id"].to_numpy()
+            cached = np.sort(ids.astype(np.int64))
+            self._tomb_cache = {key: cached}
+        return cached
+
     def _dfs_for_terms(self, a: str, terms: list[str]) -> dict[str, int]:
+        cached = self._dict_cache.get(a)
+        if cached is not None:
+            return {t: cached.get(t, 0) for t in terms}
         rows = (
             self.spark.read.parquet(self.paths[a].dictionary)
             .filter(F.col("term").isin(terms))
@@ -133,6 +172,10 @@ class SearchEngine:
         `controller/ArticleController.java:465-473`).
         """
         docs = self._docs(a).select("doc_id", "doc", "conv_id", "turn_idx", "ts", "role", "tool")
+        tomb = self._tombstones(a)
+        if tomb.size:
+            tdf = self.spark.createDataFrame([(int(t),) for t in tomb], ["doc_id"])
+            scored = scored.join(F.broadcast(tdf), "doc_id", "left_anti")
         if q.filter_docs is not None:
             flt = self.spark.createDataFrame([(d,) for d in q.filter_docs], ["doc"])
             docs = docs.join(F.broadcast(flt), "doc", "left_semi")
@@ -182,14 +225,14 @@ class SearchEngine:
 
     def _search_wand(self, q: Query, a: str, atoms: list[_Atom], prune: bool) -> DataFrame:
         meta, n_groups = self._term_meta(a, atoms)
-        terms = [t for t in meta if meta[t][1] > 0.0 or True]
-        present = [t for t in terms]
         avgdl = self.stats[a]["avgdl"]
-        blocks = self._blocks(a, present).select(
-            "seg", "term", "blk", "n", "first_doc", "last_doc", "max_impact",
+        blocks = self._blocks(a, list(meta)).select(
+            "seg", "term", "blk", "n", "first_doc", "last_doc", "max_tf", "min_dl",
             "docs_bin", "tfs_bin", "dls_bin",
         )
-        scorer = wand.make_segment_scorer(meta, n_groups, q.k, avgdl, prune=prune)
+        scorer = wand.make_segment_scorer(
+            meta, n_groups, q.k, avgdl, prune=prune, excluded=self._tombstones(a)
+        )
         out_schema = T.StructType(
             [T.StructField("doc_id", T.LongType()), T.StructField("score", T.DoubleType())]
         )
@@ -292,6 +335,10 @@ class SearchEngine:
         rows = decode_blocks_df(self._blocks(a, [term])).select(
             "doc_id", F.col("tf").cast("double").alias("score")
         )
+        tomb = self._tombstones(a)
+        if tomb.size:
+            tdf = self.spark.createDataFrame([(int(t),) for t in tomb], ["doc_id"])
+            rows = rows.join(F.broadcast(tdf), "doc_id", "left_anti")
         docs = self._docs(a).select("doc_id", "doc", "conv_id", "turn_idx", "ts", "tool")
         if q.ts_after is not None:
             docs = docs.filter(F.col("ts") >= F.lit(q.ts_after))

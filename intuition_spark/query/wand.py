@@ -32,16 +32,27 @@ K1 = 1.2
 B = 0.75
 
 
+def _weight(tf, dl, avgdl: float):
+    """BM25 term weight sans idf; numpy-broadcastable."""
+    return tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+
+
 @dataclass
 class TermBlocks:
-    """All posting blocks of one term within one segment (sorted by first_doc)."""
+    """All posting blocks of one term within one segment (sorted by first_doc).
+
+    Block-max metadata is (max_tf, min_dl): the BM25 weight is increasing in
+    tf and decreasing in dl, so idf·w(max_tf, min_dl) upper-bounds every
+    posting in the block for any avgdl."""
 
     term: str
     gid: int
     idf: float
     first: np.ndarray  # int64 per block
     last: np.ndarray
-    max_impact: np.ndarray  # float64 per block
+    max_tf: np.ndarray  # int64 per block
+    min_dl: np.ndarray  # int64 per block
+    avgdl: float
     docs_bin: list[bytes]
     tfs_bin: list[bytes]
     dls_bin: list[bytes]
@@ -76,7 +87,7 @@ class TermBlocks:
             d = docs[i0:i1]
             tf = tfs[i0:i1]
             dl = dls[i0:i1]
-            w = self.idf * tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+            w = self.idf * _weight(tf, dl, avgdl)
             ds.append(d)
             ws.append(w)
         if not ds:
@@ -88,7 +99,10 @@ class TermBlocks:
         b1 = int(np.searchsorted(self.first, hi, side="right"))
         if b0 >= b1:
             return 0.0
-        return float(self.max_impact[b0:b1].max()) * self.idf
+        ub = _weight(
+            self.max_tf[b0:b1].astype(np.float64), self.min_dl[b0:b1].astype(np.float64), self.avgdl
+        )
+        return float(ub.max()) * self.idf
 
 
 def _group_ub(terms: list[TermBlocks], lo: int, hi: int) -> float:
@@ -103,6 +117,7 @@ def score_segment_topk(
     k: int,
     avgdl: float,
     prune: bool = True,
+    excluded: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Top-k (doc_ids, scores) for one segment. With prune=False this is the
     exhaustive scorer (used for the WAND≡exhaustive identity test)."""
@@ -168,6 +183,11 @@ def score_segment_topk(
             cand = uniq if cand is None else cand[np.isin(cand, uniq, assume_unique=True)]
         if cand is None or cand.size == 0:
             continue
+        if excluded is not None and excluded.size:
+            # tombstoned docs (incremental deletes) never enter the heap
+            cand = cand[~np.isin(cand, excluded, assume_unique=False)]
+            if cand.size == 0:
+                continue
         total = np.zeros(cand.size, np.float64)
         for uniq, sums in per_group:
             idx = np.searchsorted(uniq, cand)
@@ -186,11 +206,17 @@ def score_segment_topk(
 
 
 def make_segment_scorer(
-    term_meta: dict[str, tuple[int, float]], n_groups: int, k: int, avgdl: float, prune: bool
+    term_meta: dict[str, tuple[int, float]],
+    n_groups: int,
+    k: int,
+    avgdl: float,
+    prune: bool,
+    excluded: np.ndarray | None = None,
 ):
     """applyInPandas fn over seg: block rows → local top-k (doc_id, score).
 
     term_meta: term -> (gid, idf) — broadcast-small, closed over.
+    excluded: sorted int64 doc_ids (tombstones) to skip, broadcast-small.
     """
 
     def scorer(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -205,14 +231,16 @@ def make_segment_scorer(
                     idf=idf,
                     first=tdf["first_doc"].to_numpy(np.int64),
                     last=tdf["last_doc"].to_numpy(np.int64),
-                    max_impact=tdf["max_impact"].to_numpy(np.float64),
+                    max_tf=tdf["max_tf"].to_numpy(np.int64),
+                    min_dl=tdf["min_dl"].to_numpy(np.int64),
+                    avgdl=avgdl,
                     docs_bin=list(tdf["docs_bin"]),
                     tfs_bin=list(tdf["tfs_bin"]),
                     dls_bin=list(tdf["dls_bin"]),
                     ns=tdf["n"].to_numpy(np.int64),
                 )
             )
-        docs, scores = score_segment_topk(tbs, n_groups, k, avgdl, prune=prune)
+        docs, scores = score_segment_topk(tbs, n_groups, k, avgdl, prune=prune, excluded=excluded)
         return pd.DataFrame({"doc_id": docs, "score": scores})
 
     return scorer

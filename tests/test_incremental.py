@@ -1,0 +1,84 @@
+"""Incremental maintenance (B9/B10): delta segments, tombstoned upserts,
+compaction. Lucene-model semantics: deleted docs never surface in results;
+corpus stats (df/avgdl) include them until compaction, after which the index
+is rank-identical to a from-scratch build over the logical corpus."""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from intuition_spark.corpus import generate_transcripts
+from intuition_spark.index.builder import IndexPaths, build_index
+from intuition_spark.index.incremental import compact, merge_delta
+from intuition_spark.oracle.bm25_oracle import build_oracle_index, oracle_search
+from intuition_spark.query.ast import Query
+from intuition_spark.query.engine import SearchEngine
+
+
+@pytest.fixture(scope="module")
+def setup(spark, tmp_root):
+    tbl = generate_transcripts(1200, max_tokens=40).to_pandas()
+    base = tbl.iloc[:900].copy()
+    fresh = tbl.iloc[900:].copy()
+    # updates: rewrite 30 existing turns with new text (upsert case)
+    updated = base.iloc[:30].copy()
+    updated["text"] = "braf v600e inhibitor resistance updated " + updated["turn_idx"].astype(str)
+    delta = __import__("pandas").concat([fresh, updated], ignore_index=True)
+
+    base_src = os.path.join(tmp_root, "inc_base.parquet")
+    delta_src = os.path.join(tmp_root, "inc_delta.parquet")
+    import pyarrow as pa
+
+    pq.write_table(pa.Table.from_pandas(base, preserve_index=False), base_src)
+    pq.write_table(pa.Table.from_pandas(delta, preserve_index=False), delta_src)
+
+    ix_dir = os.path.join(tmp_root, "ix_inc")
+    build_index(spark, spark.read.parquet(base_src), ix_dir, analyzer="standard", n_segments=4)
+    res = merge_delta(spark, IndexPaths(ix_dir), spark.read.parquet(delta_src))
+
+    # the logical corpus after upsert: base minus updated keys, plus delta
+    keys = set(zip(delta["conv_id"], delta["turn_idx"]))
+    final = [r for r in base.to_dict("records") if (r["conv_id"], r["turn_idx"]) not in keys]
+    final += delta.to_dict("records")
+    return ix_dir, res, final, len(delta)
+
+
+def test_merge_reports(setup):
+    _, res, _, n_delta = setup
+    assert res["n_delta"] == n_delta
+    assert res["n_tombstoned"] == 30
+    assert len(res["new_segs"]) >= 1
+
+
+def test_tombstoned_docs_never_surface(spark, setup):
+    ix_dir, _, final, _ = setup
+    eng = SearchEngine(spark, {"standard": ix_dir})
+    oracle = build_oracle_index(final, "standard")
+    # superseded turns no longer contain their old zipf text; the updated text
+    # contains 'braf v600e inhibitor resistance' — all 30 must be findable
+    q = Query("inc_upd", "and", [["inhibitor"], ["resistance"]], k=50)
+    got = {r["doc"] for r in eng.search(q, mode="wand").collect()}
+    exp = {d for d, _ in oracle_search(oracle, q)}
+    assert exp <= got or got == exp  # oracle stats differ pre-compact; doc SET must cover
+    assert len(got & exp) == len(exp)
+
+
+def test_compact_restores_rank_identity(spark, setup):
+    ix_dir, _, final, _ = setup
+    compact(spark, IndexPaths(ix_dir))
+    assert not os.path.exists(os.path.join(ix_dir, "tombstones"))
+    eng = SearchEngine(spark, {"standard": ix_dir})
+    oracle = build_oracle_index(final, "standard")
+    for q in [
+        Query("c1", "term", [["braf"]], k=10),
+        Query("c2", "and", [["inhibitor"], ["resistance"]], k=20),
+        Query("c3", "or_groups", [["braf", "kras"], ["v600e", "g12c"]], k=10),
+        Query("c4", "phrase", [["braf v600e"]], k=10),
+    ]:
+        exp = oracle_search(oracle, q)
+        for mode in ("exhaustive", "wand") if q.kind != "phrase" else ("exhaustive",):
+            got = [(r["doc"], r["score"]) for r in eng.search(q, mode=mode).collect()]
+            assert [d for d, _ in got] == [d for d, _ in exp], f"{q.query_id} [{mode}]"
+            for (gd, gs), (ed, es) in zip(got, exp):
+                assert abs(gs - es) < 1e-6
