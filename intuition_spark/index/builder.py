@@ -113,133 +113,169 @@ class IndexPaths:
         return os.path.join(self.root, "stats.json")
 
 
-def _make_tokenize_partition(analyzer: str, with_positions: bool):
-    """mapInPandas fn: docs rows → posting rows (seg, term, doc_id, tf, dl, positions)."""
+def _make_segment_indexer(analyzer: str, with_positions: bool):
+    """mapInArrow fn: raw docs → encoded posting blocks, fused and shuffle-free.
 
-    def tokenize_partition(batches):
-        for pdf in batches:
-            segs, terms, docs, tfs, dls, poss = [], [], [], [], [], []
-            for seg, doc_id, text in zip(pdf["seg"].values, pdf["doc_id"].values, pdf["text"].values):
-                toks = analyze_text(text, analyzer)
-                dl = len(toks)
-                agg: dict[str, list[int]] = {}
-                for term, pos in toks:
-                    agg.setdefault(term, []).append(pos)
-                for term, ps in agg.items():
-                    segs.append(seg)
-                    terms.append(term)
-                    docs.append(doc_id)
-                    tfs.append(len(ps))
-                    dls.append(dl)
-                    poss.append(ps if with_positions else None)
-            yield pd.DataFrame(
-                {"seg": pd.array(segs, dtype="int32"), "term": terms,
-                 "doc_id": pd.array(docs, dtype="int64"), "tf": pd.array(tfs, dtype="int32"),
-                 "dl": pd.array(dls, dtype="int32"), "positions": poss}
-            )
+    One Arrow round-trip per task: text goes in, compressed blocks come out as
+    zero-copy Arrow binary columns (block boundaries become Arrow offsets into
+    the one varint buffer — no per-block bytes objects). The earlier two-stage
+    design (tokenize → ~85 posting rows per doc → shuffle → encode) moved ~20×
+    the corpus size through the JVM↔Python sockets and anti-scaled past ~8
+    local cores on socket syscalls.
 
-    return tokenize_partition
-
-
-_EMPTY_BLOCKS = pd.DataFrame(
-    {
-        "term": pd.array([], dtype=object), "blk": pd.array([], dtype="int32"),
-        "n": pd.array([], dtype="int32"), "first_doc": pd.array([], dtype="int64"),
-        "last_doc": pd.array([], dtype="int64"), "tf_sum": pd.array([], dtype="int64"),
-        "max_tf": pd.array([], dtype="int32"), "min_dl": pd.array([], dtype="int32"),
-        "docs_bin": pd.array([], dtype=object), "tfs_bin": pd.array([], dtype=object),
-        "dls_bin": pd.array([], dtype=object), "pos_bin": pd.array([], dtype=object),
-        "seg": pd.array([], dtype="int32"),
-    }
-)
-
-
-def _make_encode_bucket(with_positions: bool):
-    """applyInPandas fn over (seg, term-hash-bucket): posting rows → block rows.
-
-    One group holds MANY terms (bucket = pmod(xxhash64(term), n_buckets)), so
-    the per-group Arrow overhead amortizes across thousands of postings; the
-    encoding itself is a single vectorized numpy pass over the whole bucket —
-    per-value varint bytes are computed once and sliced at block boundaries.
+    No shuffle: the docs scan is already seg-partitioned on disk; a parquet
+    split never spans files and files never span segments, so grouping the
+    task's rows by seg is exact. A segment split across tasks (packed small
+    files / giant row groups) still encodes correctly: the pieces' doc ranges
+    are disjoint and readers order blocks by first_doc, not block id.
     """
+    import pyarrow as pa
 
-    def encode_bucket(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        n = len(pdf)
-        if n == 0:
-            return _EMPTY_BLOCKS
-        seg = int(key[0])
-        pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
-        terms = pdf["term"].to_numpy(object)
-        doc = pdf["doc_id"].to_numpy(np.int64)
-        tf = pdf["tf"].to_numpy(np.int64)
-        dl = pdf["dl"].to_numpy(np.int64)
+    def _index_one_seg(seg: int, doc_ids: np.ndarray, texts: list) -> "pa.RecordBatch | None":
+        order0 = np.argsort(doc_ids, kind="stable")
+        term_list: list[str] = []
+        doc_list: list[int] = []
+        tf_list: list[int] = []
+        dl_list: list[int] = []
+        pos_list: list[list[int]] = []
+        for i in order0:
+            doc_id = int(doc_ids[i])
+            toks = analyze_text(texts[i], analyzer)
+            dl = len(toks)
+            agg: dict[str, list[int]] = {}
+            for term, pos in toks:
+                agg.setdefault(term, []).append(pos)
+            for term, ps in agg.items():
+                term_list.append(term)
+                doc_list.append(doc_id)
+                tf_list.append(len(ps))
+                dl_list.append(dl)
+                if with_positions:
+                    pos_list.append(ps)
+        if not term_list:
+            return None
+        terms = np.asarray(term_list, dtype=object)
+        codes, _ = pd.factorize(terms, sort=True)
+        doc = np.asarray(doc_list, dtype=np.int64)
+        order = np.lexsort((doc, codes))
+        tf = np.asarray(tf_list, dtype=np.int64)[order]
+        dl = np.asarray(dl_list, dtype=np.int64)[order]
+        pos = [pos_list[i] for i in order] if with_positions else None
+        return _encode_sorted_arrow(seg, terms[order], doc[order], tf, dl, pos, with_positions)
 
-        term_change = np.empty(n, dtype=bool)
-        term_change[0] = True
-        term_change[1:] = terms[1:] != terms[:-1]
-        term_starts = np.flatnonzero(term_change)
-        term_idx = np.cumsum(term_change) - 1
-        idx_in_term = np.arange(n) - term_starts[term_idx]
-        blk_of_row = idx_in_term // codec.BLOCK_SIZE
-        is_blk_start = idx_in_term % codec.BLOCK_SIZE == 0
-        bstarts = np.flatnonzero(is_blk_start)
-        bends = np.concatenate((bstarts[1:], [n]))
+    def index_partition(batches):
+        tbl = pa.Table.from_batches(list(batches))
+        if tbl.num_rows == 0:
+            return
+        segs = tbl.column("seg").to_numpy()
+        doc_ids = tbl.column("doc_id").to_numpy()
+        texts = tbl.column("text").to_pylist()
+        for seg in np.unique(segs):
+            m = segs == seg
+            idx = np.flatnonzero(m)
+            batch = _index_one_seg(int(seg), doc_ids[idx], [texts[i] for i in idx])
+            if batch is not None:
+                yield batch
 
-        # doc gaps: delta within a block, absolute at each block start
-        gaps = np.empty(n, dtype=np.int64)
-        gaps[0] = doc[0]
-        gaps[1:] = doc[1:] - doc[:-1]
-        gaps[bstarts] = doc[bstarts]
-        docs_buf, docs_len = codec.varint_encode_with_lengths(gaps.astype(np.uint64))
-        tfs_buf, tfs_len = codec.varint_encode_with_lengths(tf.astype(np.uint64))
-        dls_buf, dls_len = codec.varint_encode_with_lengths(dl.astype(np.uint64))
-        docs_off = np.concatenate(([0], np.cumsum(docs_len)))
-        tfs_off = np.concatenate(([0], np.cumsum(tfs_len)))
-        dls_off = np.concatenate(([0], np.cumsum(dls_len)))
+    return index_partition
 
-        if with_positions:
-            pos_lists = pdf["positions"].to_numpy(object)
-            flat = (
-                np.concatenate([np.asarray(p, dtype=np.int64) for p in pos_lists])
-                if n
-                else np.empty(0, np.int64)
-            )
-            val_off = np.concatenate(([0], np.cumsum(tf)))  # value range per row
-            pdeltas = flat.copy()
-            if flat.size:
-                pdeltas[1:] = flat[1:] - flat[:-1]
-                pdeltas[val_off[:-1]] = flat[val_off[:-1]]  # absolute at doc starts
-            pos_buf, pos_len = codec.varint_encode_with_lengths(pdeltas.astype(np.uint64))
-            pos_byte_off = np.concatenate(([0], np.cumsum(pos_len)))
 
-        tf_sum = np.add.reduceat(tf, bstarts)
-        max_tf = np.maximum.reduceat(tf, bstarts)
-        min_dl = np.minimum.reduceat(dl, bstarts)
-        out = {
-            "term": terms[bstarts],
-            "blk": blk_of_row[bstarts].astype(np.int32),
-            "n": (bends - bstarts).astype(np.int32),
-            "first_doc": doc[bstarts],
-            "last_doc": doc[bends - 1],
-            "tf_sum": tf_sum,
-            "max_tf": max_tf.astype(np.int32),
-            "min_dl": min_dl.astype(np.int32),
-            "docs_bin": [docs_buf[docs_off[s] : docs_off[e]] for s, e in zip(bstarts, bends)],
-            "tfs_bin": [tfs_buf[tfs_off[s] : tfs_off[e]] for s, e in zip(bstarts, bends)],
-            "dls_bin": [dls_buf[dls_off[s] : dls_off[e]] for s, e in zip(bstarts, bends)],
-            "pos_bin": (
-                [
-                    pos_buf[pos_byte_off[val_off[s]] : pos_byte_off[val_off[e]]]
-                    for s, e in zip(bstarts, bends)
-                ]
-                if with_positions
-                else [None] * len(bstarts)
-            ),
-            "seg": np.full(len(bstarts), seg, dtype=np.int32),
-        }
-        return pd.DataFrame(out)
+def _arrow_binary(n_vals: int, byte_offsets: np.ndarray, buf: bytes):
+    """Zero-copy Arrow binary array: values are [off[i], off[i+1]) slices of
+    one shared buffer (our blocks tile the varint stream exactly)."""
+    import pyarrow as pa
 
-    return encode_bucket
+    return pa.Array.from_buffers(
+        pa.binary(),
+        n_vals,
+        [None, pa.py_buffer(byte_offsets.astype(np.int32).tobytes()), pa.py_buffer(buf)],
+    )
+
+
+def _encode_sorted_arrow(
+    seg: int,
+    terms: np.ndarray,
+    doc: np.ndarray,
+    tf: np.ndarray,
+    dl: np.ndarray,
+    pos_lists: list | None,
+    with_positions: bool,
+):
+    """Vectorized block encoder over (term, doc_id)-sorted posting arrays:
+    per-value varint bytes are computed once for the whole segment, and block
+    boundaries become Arrow binary offsets — zero per-block copies."""
+    import pyarrow as pa
+
+    n = len(doc)
+    if n == 0:
+        return None
+    term_change = np.empty(n, dtype=bool)
+    term_change[0] = True
+    term_change[1:] = terms[1:] != terms[:-1]
+    term_starts = np.flatnonzero(term_change)
+    term_idx = np.cumsum(term_change) - 1
+    idx_in_term = np.arange(n) - term_starts[term_idx]
+    blk_of_row = idx_in_term // codec.BLOCK_SIZE
+    is_blk_start = idx_in_term % codec.BLOCK_SIZE == 0
+    bstarts = np.flatnonzero(is_blk_start)
+    bends = np.concatenate((bstarts[1:], [n]))
+
+    # doc gaps: delta within a block, absolute at each block start
+    gaps = np.empty(n, dtype=np.int64)
+    gaps[0] = doc[0]
+    gaps[1:] = doc[1:] - doc[:-1]
+    gaps[bstarts] = doc[bstarts]
+    docs_buf, docs_len = codec.varint_encode_with_lengths(gaps.astype(np.uint64))
+    tfs_buf, tfs_len = codec.varint_encode_with_lengths(tf.astype(np.uint64))
+    dls_buf, dls_len = codec.varint_encode_with_lengths(dl.astype(np.uint64))
+    docs_off = np.concatenate(([0], np.cumsum(docs_len)))
+    tfs_off = np.concatenate(([0], np.cumsum(tfs_len)))
+    dls_off = np.concatenate(([0], np.cumsum(dls_len)))
+
+    if with_positions:
+        flat = np.concatenate([np.asarray(p, dtype=np.int64) for p in pos_lists])
+        val_off = np.concatenate(([0], np.cumsum(tf)))  # value range per row
+        pdeltas = flat.copy()
+        if flat.size:
+            pdeltas[1:] = flat[1:] - flat[:-1]
+            pdeltas[val_off[:-1]] = flat[val_off[:-1]]  # absolute at doc starts
+        pos_buf, pos_len = codec.varint_encode_with_lengths(pdeltas.astype(np.uint64))
+        pos_byte_off = np.concatenate(([0], np.cumsum(pos_len)))
+
+    tf_sum = np.add.reduceat(tf, bstarts)
+    max_tf = np.maximum.reduceat(tf, bstarts)
+    min_dl = np.minimum.reduceat(dl, bstarts)
+    nb = len(bstarts)
+    # per-stream Arrow offsets: block i spans [stream_off[bstarts[i]],
+    # stream_off[bstarts[i+1]]) and blocks tile the stream, so offsets are
+    # just the stream offsets sampled at block starts (+ total at the end)
+    docs_bo = np.append(docs_off[bstarts], docs_off[-1])
+    tfs_bo = np.append(tfs_off[bstarts], tfs_off[-1])
+    dls_bo = np.append(dls_off[bstarts], dls_off[-1])
+    arrays = [
+        pa.array(terms[bstarts], type=pa.string()),
+        pa.array(blk_of_row[bstarts], type=pa.int32()),
+        pa.array(bends - bstarts, type=pa.int32()),
+        pa.array(doc[bstarts], type=pa.int64()),
+        pa.array(doc[bends - 1], type=pa.int64()),
+        pa.array(tf_sum, type=pa.int64()),
+        pa.array(max_tf, type=pa.int32()),
+        pa.array(min_dl, type=pa.int32()),
+        _arrow_binary(nb, docs_bo, docs_buf),
+        _arrow_binary(nb, tfs_bo, tfs_buf),
+        _arrow_binary(nb, dls_bo, dls_buf),
+        (
+            _arrow_binary(nb, np.append(pos_byte_off[val_off[bstarts]], pos_byte_off[-1]), pos_buf)
+            if with_positions
+            else pa.nulls(nb, pa.binary())
+        ),
+        pa.array(np.full(nb, seg, dtype=np.int32), type=pa.int32()),
+    ]
+    names = [
+        "term", "blk", "n", "first_doc", "last_doc", "tf_sum", "max_tf",
+        "min_dl", "docs_bin", "tfs_bin", "dls_bin", "pos_bin", "seg",
+    ]
+    return pa.RecordBatch.from_arrays(arrays, names=names)
 
 
 def prepare_docs(
@@ -308,10 +344,14 @@ def build_postings(
     with open(paths.stats) as f:
         stats = json.load(f)
     analyzer, n_segments = stats["analyzer"], stats["n_segments"]
-    n_buckets = 64  # terms per (seg, bucket) group; amortizes Arrow group cost
-
     seg_offset = stats.get("seg_offset", 0)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # the indexing scan must not pack many seg files into one task — one task
+    # per file keeps all cores busy (files are row-group-sized at scale)
+    old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_open = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "8m")
+    spark.conf.set("spark.sql.files.openCostInBytes", "8m")
     done = _manifest_done_segs(spark, paths) if resume else set()
     todo = [s for s in range(seg_offset, seg_offset + n_segments) if s not in done]
 
@@ -331,15 +371,15 @@ def build_postings(
             raise RuntimeError(f"injected failure after {processed} segments")
         t0 = time.time()
         batch_docs = docs.filter(F.col("seg").isin(batch)).select("seg", "doc_id", "text")
-        posting_rows = batch_docs.mapInPandas(
-            _make_tokenize_partition(analyzer, with_positions), POSTING_ROW_SCHEMA
-        ).withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
-        blocks = posting_rows.groupBy("seg", "bucket").applyInPandas(
-            _make_encode_bucket(with_positions), BLOCK_SCHEMA
+        blocks = batch_docs.mapInArrow(
+            _make_segment_indexer(analyzer, with_positions), BLOCK_SCHEMA
         )
+        # no shuffle anywhere: the docs scan is already seg-partitioned on
+        # disk, the indexer emits blocks sorted by (term, blk) per segment,
+        # and partitionBy('seg') routes each task's output straight to its
+        # seg directory (term-sorted file → row-group pruning on term)
         (
-            blocks.repartition("seg")
-            .sortWithinPartitions("term", "blk")
+            blocks.sortWithinPartitions("seg", "term", "blk")
             .write.mode("overwrite")
             .partitionBy("seg")
             .parquet(paths.postings)
@@ -348,6 +388,8 @@ def build_postings(
         rows = [(int(s), "done", 0, wall) for s in batch]
         spark.createDataFrame(rows, manifest_schema).write.mode("append").parquet(paths.manifest)
         processed += len(batch)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+    spark.conf.set("spark.sql.files.openCostInBytes", old_open)
 
 
 def build_dictionary(spark: SparkSession, paths: IndexPaths) -> None:

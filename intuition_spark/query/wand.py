@@ -59,6 +59,10 @@ class TermBlocks:
     ns: np.ndarray
     _decoded: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] | None = None
 
+    @property
+    def n_decoded(self) -> int:
+        return 0 if self._decoded is None else len(self._decoded)
+
     def decode(self, bi: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         if self._decoded is None:
             self._decoded = {}
@@ -118,9 +122,13 @@ def score_segment_topk(
     avgdl: float,
     prune: bool = True,
     excluded: np.ndarray | None = None,
+    stats: dict | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Top-k (doc_ids, scores) for one segment. With prune=False this is the
-    exhaustive scorer (used for the WAND≡exhaustive identity test)."""
+    exhaustive scorer (used for the WAND≡exhaustive identity test).
+
+    When ``stats`` is a dict, pruning effectiveness counters are accumulated
+    into it: ranges_total / ranges_scored / blocks_total / blocks_decoded."""
     groups: dict[int, list[TermBlocks]] = {}
     for tb in term_blocks:
         groups.setdefault(tb.gid, []).append(tb)
@@ -156,9 +164,11 @@ def score_segment_topk(
     scored_ranges.sort(reverse=True)
 
     heap: list[tuple[float, int]] = []  # (score, -doc) min-heap of top-k
+    n_scored = 0
     for ub, lo, hi in scored_ranges:
         if prune and len(heap) >= k and ub <= heap[0][0]:
             break  # impact-ordered: no remaining range can beat the threshold
+        n_scored += 1
         # exact evaluation of the range
         cand: np.ndarray | None = None
         per_group: list[tuple[np.ndarray, np.ndarray]] = []
@@ -197,6 +207,15 @@ def score_segment_topk(
                 heapq.heappush(heap, (sc, -doc))
             elif (sc, -doc) > heap[0]:
                 heapq.heapreplace(heap, (sc, -doc))
+    if stats is not None:
+        stats["ranges_total"] = stats.get("ranges_total", 0) + len(scored_ranges)
+        stats["ranges_scored"] = stats.get("ranges_scored", 0) + n_scored
+        stats["blocks_total"] = stats.get("blocks_total", 0) + sum(
+            len(t.first) for ts in groups.values() for t in ts
+        )
+        stats["blocks_decoded"] = stats.get("blocks_decoded", 0) + sum(
+            t.n_decoded for ts in groups.values() for t in ts
+        )
     if not heap:
         return np.empty(0, np.int64), np.empty(0, np.float64)
     heap.sort(reverse=True)
@@ -223,7 +242,9 @@ def make_segment_scorer(
         tbs = []
         for term, tdf in pdf.groupby("term", sort=False):
             gid, idf = term_meta[term]
-            tdf = tdf.sort_values("blk")
+            # block ids are only unique per build task; first_doc is the true
+            # global order (ranges are disjoint by construction)
+            tdf = tdf.sort_values("first_doc")
             tbs.append(
                 TermBlocks(
                     term=term,

@@ -1,0 +1,79 @@
+"""spark-submit entry point: build (or resume) a full-text index.
+
+Cluster usage (the north-rule deployment shape):
+
+    cd repo && zip -r /tmp/intuition_spark.zip intuition_spark
+    spark-submit --py-files /tmp/intuition_spark.zip \
+        scripts/build_index_job.py \
+        --input s3://bucket/transcripts --output s3://bucket/indexes/main \
+        --analyzer standard --segments 4096 --segs-per-job 256 [--resume]
+
+Locally it runs on local[N]. Emits one JSON line of per-stage throughput
+metrics (the lineage/metrics requirement of B9).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="parquet dir/file of transcripts")
+    ap.add_argument("--output", required=True, help="index root directory")
+    ap.add_argument("--analyzer", default="standard", choices=["standard", "standard_nostem", "ws"])
+    ap.add_argument("--segments", type=int, default=16)
+    ap.add_argument("--segs-per-job", type=int, default=16)
+    ap.add_argument("--no-positions", action="store_true")
+    ap.add_argument("--resume", action="store_true", help="skip segments marked done in manifest")
+    args = ap.parse_args()
+
+    from intuition_spark.index.builder import (
+        IndexPaths,
+        build_dictionary,
+        build_postings,
+        prepare_docs,
+    )
+    from intuition_spark.session import get_spark
+
+    spark = get_spark("build-index")
+    paths = IndexPaths(args.output)
+    os.makedirs(args.output, exist_ok=True)
+    metrics: dict = {"input": args.input, "output": args.output, "resume": args.resume}
+
+    t0 = time.time()
+    df = spark.read.parquet(args.input)
+    if args.resume and os.path.exists(paths.stats):
+        with open(paths.stats) as f:
+            metrics["n_turns"] = json.load(f)["N"]
+    else:
+        stats = prepare_docs(spark, df, paths, analyzer=args.analyzer, n_segments=args.segments)
+        metrics["n_turns"] = stats["N"]
+    metrics["docs_stage_s"] = round(time.time() - t0, 2)
+
+    t1 = time.time()
+    build_postings(
+        spark, paths,
+        with_positions=not args.no_positions,
+        segs_per_job=args.segs_per_job,
+        resume=args.resume,
+    )
+    metrics["postings_stage_s"] = round(time.time() - t1, 2)
+
+    t2 = time.time()
+    build_dictionary(spark, paths)
+    metrics["dictionary_stage_s"] = round(time.time() - t2, 2)
+    metrics["total_s"] = round(time.time() - t0, 2)
+    metrics["turns_per_sec"] = round(metrics["n_turns"] / metrics["total_s"], 1)
+    print(json.dumps(metrics))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
