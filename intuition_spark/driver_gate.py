@@ -711,3 +711,74 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
     out = brute_force_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10)
     return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+# --------------------------------------------------------------------------
+# B7: regex-scan entity posting-list build (MapServiceImpl.addOneTerm:256-367,
+# patterns from ArticleQuery.java:122-213) — rlike scan → doc set per pattern
+# --------------------------------------------------------------------------
+@register(
+    "fts_b7_regex_scan",
+    """
+SELECT 'p_spark' AS pattern, doc_id FROM documents WHERE regexp_matches(text, 'spark [a-z]+ query')
+UNION ALL
+SELECT 'p_window' AS pattern, doc_id FROM documents WHERE regexp_matches(text, 'window (sort|merge)')
+""",
+)
+def fts_b7_regex_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    pats = [("p_spark", "spark [a-z]+ query"), ("p_window", "window (sort|merge)")]
+    parts = [
+        docs.filter(F.col("text").rlike(rx)).select(F.lit(name).alias("pattern"), "doc_id")
+        for name, rx in pats
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# --------------------------------------------------------------------------
+# A4: weighted score-code accumulation (AnalyticsServiceImpl.java:601-716):
+# each code is a boolean/int column, score = weighted sum expression
+# --------------------------------------------------------------------------
+@register(
+    "rel_a4_weighted_codes",
+    f"""
+WITH {_TOKS_CTE},
+feats AS (
+  SELECT doc_id,
+         max(CASE WHEN term = 'spark' THEN 1 ELSE 0 END) AS has_a,
+         max(CASE WHEN term = 'query' THEN 1 ELSE 0 END) AS has_b,
+         CASE WHEN count(*) > 200 THEN 1 ELSE 0 END AS is_long
+  FROM toks WHERE term <> '' GROUP BY doc_id)
+SELECT doc_id, 3 * has_a + 2 * has_b + 5 * is_long AS code_score
+FROM feats WHERE 3 * has_a + 2 * has_b + 5 * is_long > 0
+""",
+)
+def rel_a4_weighted_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _tokens(spark, sf_dir)
+    feats = toks.groupBy("doc_id").agg(
+        F.max(F.when(F.col("term") == "spark", 1).otherwise(0)).alias("has_a"),
+        F.max(F.when(F.col("term") == "query", 1).otherwise(0)).alias("has_b"),
+        F.when(F.count("*") > 200, 1).otherwise(0).alias("is_long"),
+    )
+    score = F.col("has_a") * 3 + F.col("has_b") * 2 + F.col("is_long") * 5
+    return feats.select("doc_id", score.alias("code_score")).filter(F.col("code_score") > 0)
+
+
+# --------------------------------------------------------------------------
+# F11: JSON extraction (Gson serialize, Article.java:279-285) over events.props
+# --------------------------------------------------------------------------
+@register(
+    "rel_f11_json",
+    """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events WHERE event_id < 500
+""",
+)
+def rel_f11_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _read(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    return e.select(
+        "event_id", F.get_json_object("props", "$.k").cast("bigint").alias("k")
+    )

@@ -1,0 +1,91 @@
+"""fq-style filters (P2/P3/P5), regex/fuzzy expansion (Q6/Q7), get-by-id (Q12)
+— engine vs oracle on the synthetic corpus."""
+
+import os
+from datetime import datetime, timezone
+
+import pyarrow.parquet as pq
+import pytest
+
+from intuition_spark.corpus import generate_transcripts
+from intuition_spark.index.builder import build_index
+from intuition_spark.oracle.bm25_oracle import build_oracle_index, oracle_search
+from intuition_spark.query.ast import Query
+from intuition_spark.query.engine import SearchEngine
+
+
+@pytest.fixture(scope="module")
+def setup(spark, tmp_root):
+    tbl = generate_transcripts(1500, max_tokens=40)
+    src = os.path.join(tmp_root, "filters_corpus.parquet")
+    pq.write_table(tbl, src)
+    std = build_index(spark, spark.read.parquet(src), os.path.join(tmp_root, "ix_flt_std"),
+                      analyzer="standard", n_segments=3)
+    ws = build_index(spark, spark.read.parquet(src), os.path.join(tmp_root, "ix_flt_ws"),
+                     analyzer="ws", n_segments=3)
+    eng = SearchEngine(spark, {"standard": std.root, "ws": ws.root})
+    rows = tbl.to_pylist()
+    oracles = {"standard": build_oracle_index(rows, "standard"),
+               "ws": build_oracle_index(rows, "ws")}
+    return eng, oracles, rows
+
+
+def _compare(eng, oracles, q, mode="auto"):
+    exp = oracle_search(oracles[q.effective_analyzer], q)
+    got = [(r["doc"], r["score"]) for r in eng.search(q, mode=mode).collect()]
+    assert [d for d, _ in got] == [d for d, _ in exp], f"{q.query_id}: {got} vs {exp}"
+    for (gd, gs), (ed, es) in zip(got, exp):
+        assert abs(gs - es) < 1e-6
+
+
+def test_ts_after_filter(setup):
+    eng, oracles, rows = setup
+    mid_ts = sorted(r["ts"] for r in rows)[len(rows) // 2]
+    q = Query("f_ts", "term", [["spark"]], k=10, ts_after=mid_ts)
+    _compare(eng, oracles, q)
+
+
+def test_require_no_tool(setup):
+    eng, oracles, _ = setup
+    q = Query("f_tool", "and", [["query"], ["data"]], k=10, require_no_tool=True)
+    _compare(eng, oracles, q)
+    # filtered results must actually be non-tool turns
+    docs = [r["doc"] for r in eng.search(q).collect()]
+    meta = eng.get_by_id(docs).collect()
+    assert all(r["tool"] is None for r in meta)
+
+
+def test_filter_docs_candidate_set(setup):
+    eng, oracles, _ = setup
+    base = Query("f_base", "term", [["spark"]], k=40)
+    cand = [d for d, _ in oracle_search(oracles["standard"], base)][::2]  # every other hit
+    q = Query("f_fq", "term", [["spark"]], k=10, filter_docs=cand)
+    _compare(eng, oracles, q)
+
+
+def test_combined_filters(setup):
+    eng, oracles, rows = setup
+    early = datetime(2025, 1, 1, tzinfo=timezone.utc)
+    q = Query("f_comb", "or_groups", [["braf", "kras"], ["v600e", "g12c"]], k=10,
+              ts_after=early, require_no_tool=True)
+    _compare(eng, oracles, q)
+
+
+def test_regex_query(setup):
+    eng, oracles, _ = setup
+    q = Query("f_rx", "regex", [["w000[0-9]{2}"]], k=20)
+    _compare(eng, oracles, q)
+
+
+def test_fuzzy_query(setup):
+    eng, oracles, _ = setup
+    q = Query("f_fz", "fuzzy", [["brag"]], k=20)  # braf is distance 1
+    _compare(eng, oracles, q)
+
+
+def test_get_by_id(setup):
+    eng, _, rows = setup
+    want = [f"{rows[0]['conv_id']}:{rows[0]['turn_idx']}", f"{rows[5]['conv_id']}:{rows[5]['turn_idx']}"]
+    got = {r["doc"]: r["text"] for r in eng.get_by_id(want).collect()}
+    assert got[want[0]] == rows[0]["text"]
+    assert got[want[1]] == rows[5]["text"]
