@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import intuition_spark.driver_engine  # noqa: E402,F401  (registers engine-backed entries)
+import intuition_spark.driver_gate_ext  # noqa: E402,F401  (dedup/similarity/text/mm entries)
 from intuition_spark import driver_gate  # noqa: E402
 
 

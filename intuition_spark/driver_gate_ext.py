@@ -1,0 +1,630 @@
+"""Gate entries #2: training-data pipeline operators (dedup / similarity /
+text analysis / multimodal) + the remaining reference text-analysis operators
+(Q10 highlight, W3 islands, Q16 cutoff, Q17 proximity validation).
+
+Every dedup/similarity entry here is FULLY oracle-gated: the DuckDB SQL
+replicates the whole pipeline — portable char-fold hashing, minhash banding,
+simhash bit votes, hyperplane buckets — via :mod:`functions.portable`, which
+generates bit-identical arithmetic for both engines. No recall gap between
+engine and oracle.
+
+Reference parity notes (SURVEY.md §2): near-dup detection generalizes the
+reference's duplicate reconciliation (`SolrServiceImpl.findArticle`,
+service/SolrServiceImpl.java:483-523) and entity posting-set machinery; the
+text-analysis entries map TextServiceImpl.java operators (file:line cited per
+entry) onto the transcript/documents corpus.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from intuition_spark.driver_gate import _BM25_CTES, _TOKS_CTE, _read, register
+from intuition_spark.functions import portable as PT
+from intuition_spark.functions.text import (
+    _LANG_PROFILES,
+    bpe_ish_token_count,
+    detect_language,
+    token_count,
+)
+
+# shared knobs (inlined into both engines' programs)
+N_MINHASH = 8
+N_BANDS = 4
+ROWS_PER_BAND = N_MINHASH // N_BANDS
+MINHASH_PARAMS = PT.hash_params(N_MINHASH, seed=7)
+SIMHASH_BITS = 32
+SIMHASH_PARAMS = PT.hash_params(SIMHASH_BITS, seed=13)
+JACCARD_T = 0.8
+COSINE_T = 0.45
+ANN_PLANES = PT.hyperplanes(4, 64, seed=11)
+
+_D_TOKS = PT.D_TOKENS.format(t="text")
+_D_TOK_HASHES = f"list_transform({_D_TOKS}, s -> {PT.d_charfold('s')})"
+# shingle hash = window polynomial over token hashes (portable.s_shingle_hash_set):
+# one charfold per distinct term Spark-side, arithmetic-only per shingle
+_D_SHINGLE_HASHES = PT.d_shingle_hash_set(_D_TOK_HASHES)
+
+
+def _s_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(a_id, band, key) — minhash signature → band keys, all JVM-side."""
+    docs = _read(spark, sf_dir, "documents")
+    tok = PT.s_token_hash_arrays(docs)
+    sig = tok.select(
+        F.col("id").alias("a_id"),
+        *PT.s_minhash_cols(PT.s_shingle_hash_set(F.col("hs")), MINHASH_PARAMS),
+    )
+    band_keys = [
+        F.concat_ws(
+            "_", *[F.col(f"m{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        )
+        for b in range(N_BANDS)
+    ]
+    return sig.select(
+        "a_id", F.posexplode(F.array(*band_keys)).alias("band", "key")
+    )
+
+
+_D_SIG_CTES = f"""
+base AS (SELECT doc_id AS id, {_D_SHINGLE_HASHES} AS hs FROM documents),
+sig AS (SELECT id, {", ".join(PT.d_minhash_exprs("hs", MINHASH_PARAMS))} FROM base),
+banded AS (
+  SELECT id, bn.band,
+         CASE bn.band {" ".join(
+             f"WHEN {b} THEN " + " || '_' || ".join(
+                 f"m{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+             for b in range(N_BANDS))}
+         END AS key
+  FROM sig CROSS JOIN (VALUES {", ".join(f"({b})" for b in range(N_BANDS))}) bn(band)
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup 1: MinHash + LSH banding → candidate pairs (Broder '97 / MMDS ch.3)
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_minhash_lsh",
+    f"""
+WITH {_D_SIG_CTES}
+SELECT a.id AS a_id, b.id AS b_id, count(*) AS n_shared_bands
+FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+GROUP BY a.id, b.id
+""",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates via banded MinHash LSH — shingle → 8-hash signature
+    → 4 band keys → bucket self-join. The oracle replicates the entire
+    pipeline bit-for-bit (portable mod-P hashing). At 100 TB only (id, key)
+    pairs ever shuffle; text stays at the scan."""
+    banded = _s_banded(spark, sf_dir)
+    right = banded.select(F.col("a_id").alias("b_id"), "band", "key")
+    return (
+        banded.join(right, ["band", "key"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup 2: exact n-gram Jaccard verification of the LSH candidates
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_lsh_jaccard",
+    f"""
+WITH {_D_SIG_CTES},
+cand AS (
+  SELECT DISTINCT a.id AS a_id, b.id AS b_id
+  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+),
+sh AS (SELECT doc_id AS id, unnest({_D_SHINGLE_HASHES}) AS s FROM documents),
+sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+inter AS (
+  SELECT c.a_id, c.b_id, count(*) AS ni
+  FROM cand c JOIN sh a ON a.id = c.a_id JOIN sh b ON b.id = c.b_id AND b.s = a.s
+  GROUP BY c.a_id, c.b_id)
+SELECT i.a_id, i.b_id,
+       round(ni / (sa.n + sb.n - ni), 4) AS jaccard
+FROM inter i JOIN sz sa ON sa.id = i.a_id JOIN sz sb ON sb.id = i.b_id
+WHERE ni / (sa.n + sb.n - ni) >= {JACCARD_T}
+""",
+)
+def dedup_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup detection: LSH candidates → exact 3-gram Jaccard
+    ≥ {JACCARD_T} — the MinHash recall stage + exact verify stage of a
+    production dedup pipeline. Only candidate pairs are verified (never
+    all-pairs)."""
+    banded = _s_banded(spark, sf_dir)
+    right = banded.select(F.col("a_id").alias("b_id"), "band", "key")
+    cand = (
+        banded.join(right, ["band", "key"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    docs = _read(spark, sf_dir, "documents")
+    sh = PT.s_token_hash_arrays(docs).select(
+        "id", F.explode(PT.s_shingle_hash_set(F.col("hs"))).alias("s")
+    )
+    sz = sh.groupBy("id").agg(F.count("*").alias("n"))
+    inter = (
+        cand.join(sh.withColumnRenamed("id", "a_id"), "a_id")
+        .join(sh.select(F.col("id").alias("b_id"), "s"), ["b_id", "s"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("ni"))
+    )
+    jac = F.col("ni") / (F.col("na") + F.col("nb") - F.col("ni"))
+    return (
+        inter.join(sz.select(F.col("id").alias("a_id"), F.col("n").alias("na")), "a_id")
+        .join(sz.select(F.col("id").alias("b_id"), F.col("n").alias("nb")), "b_id")
+        .filter(jac >= JACCARD_T)
+        .select("a_id", "b_id", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup 3: SimHash (Charikar '02) — 32 portable bits, banded candidates
+# ---------------------------------------------------------------------------
+_D_H_TERM = PT.d_charfold("term")
+_SIM_VOTES = ", ".join(PT.d_simhash_vote_exprs("h", "tf", SIMHASH_PARAMS))
+_SIM_SV = ", ".join(f"sum(v{i}) AS sv{i}" for i in range(SIMHASH_BITS))
+
+
+@register(
+    "dedup_simhash",
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_D_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term),
+hashed AS (SELECT doc_id, {_D_H_TERM} AS h, tf FROM tf),
+votes AS (SELECT doc_id, {_SIM_VOTES} FROM hashed),
+sv AS (SELECT doc_id, {_SIM_SV} FROM votes GROUP BY doc_id),
+sim AS (SELECT doc_id AS id, ({PT.d_simhash_from_votes(SIMHASH_BITS)}) AS h FROM sv),
+chunks AS (
+  SELECT id, h, bn.band, (h >> (bn.band * 8)) & 255 AS chunk
+  FROM sim CROSS JOIN (VALUES (0),(1),(2),(3)) bn(band)),
+pairs AS (
+  SELECT DISTINCT a.id AS a_id, b.id AS b_id, a.h AS ha, b.h AS hb
+  FROM chunks a JOIN chunks b ON a.band = b.band AND a.chunk = b.chunk AND a.id < b.id)
+SELECT a_id, b_id, bit_count(xor(ha, hb)) AS hamming
+FROM pairs WHERE bit_count(xor(ha, hb)) <= 1
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 32-bit weighted-bit-vote hash per doc, 8-bit band
+    candidates, exact Hamming verify ≤ 1. All JVM-side column arithmetic (the
+    64-bit pandas-UDF variant in functions/dedup.py is the scale path)."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(PT.s_tokens(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    hashed = tf.select("doc_id", PT.s_charfold(F.col("term")).alias("h"), "tf")
+    votes = hashed.select(
+        "doc_id", *PT.s_simhash_votes(F.col("h"), F.col("tf"), SIMHASH_PARAMS)
+    )
+    sv = votes.groupBy("doc_id").agg(
+        *[F.sum(f"v{i}").alias(f"sv{i}") for i in range(SIMHASH_BITS)]
+    )
+    sim = sv.select(F.col("doc_id").alias("id"), PT.s_simhash_from_votes(SIMHASH_BITS).alias("h"))
+    chunks = sim.select(
+        "id",
+        "h",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("h"), b * 8).bitwiseAND(F.lit(255))
+                    for b in range(4)
+                ]
+            )
+        ).alias("band", "chunk"),
+    )
+    right = chunks.select(F.col("id").alias("b_id"), F.col("h").alias("hb"), "band", "chunk")
+    pairs = (
+        chunks.join(right, ["band", "chunk"])
+        .filter(F.col("id") < F.col("b_id"))
+        .select(F.col("id").alias("a_id"), "b_id", F.col("h").alias("ha"), "hb")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return pairs.select("a_id", "b_id", hamming.alias("hamming")).filter(
+        F.col("hamming") <= 1
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup 4: embedding-cosine near-dup pairs
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_embed_cosine",
+    f"""
+WITH n AS (
+  SELECT vec_id, embedding, {PT.d_norm("embedding")} AS nrm FROM embeddings)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       round({PT.d_dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 4) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE round({PT.d_dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 4) >= {COSINE_T}
+""",
+)
+def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold {COSINE_T}); JVM-side
+    zip_with/aggregate dot products with the same left-fold summation order as
+    the oracle. The scale path pre-buckets by sign-LSH (sim_ann_lsh) so the
+    quadratic verify only runs within buckets."""
+    emb = _read(spark, sf_dir, "embeddings")
+    n = emb.select("vec_id", "embedding", PT.s_norm("embedding").alias("nrm"))
+    a = n.select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"), F.col("nrm").alias("na")
+    )
+    b = n.select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb")
+    )
+    cos = F.round(PT.s_dot("ea", "eb") / (F.col("na") * F.col("nb")), 4)
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", cos.alias("cosine"))
+        .filter(F.col("cosine") >= COSINE_T)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity: sign-LSH bucketed ANN top-k (hyperplane LSH, Charikar '02)
+# ---------------------------------------------------------------------------
+def _d_plane_literal(p) -> str:
+    return "[" + ", ".join(f"{x!r}" for x in p.tolist()) + "]"
+
+
+def _d_bucket_expr(vec: str) -> str:
+    bits = []
+    for j, plane in enumerate(ANN_PLANES):
+        dot = PT.d_dot(vec, f"{_d_plane_literal(plane)}::DOUBLE[]")
+        bits.append(f"CASE WHEN {dot} >= 0 THEN {1 << j} ELSE 0 END")
+    return "(" + " + ".join(bits) + ")"
+
+
+def _s_bucket_expr(vec: str) -> F.Column:
+    acc = F.lit(0)
+    for j, plane in enumerate(ANN_PLANES):
+        lit = F.array(*[F.lit(float(x)) for x in plane.tolist()])
+        dot = F.aggregate(
+            F.zip_with(vec, lit, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        acc = acc + F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return acc
+
+
+@register(
+    "sim_ann_lsh",
+    f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_d_bucket_expr("embedding")} AS bucket,
+         {PT.d_norm("embedding")} AS nrm
+  FROM embeddings),
+q AS (SELECT embedding AS qv, bucket AS qb, nrm AS qn FROM b WHERE vec_id = 0)
+SELECT vec_id, bucket,
+       round({PT.d_dot("embedding", "qv")} / (nrm * qn), 4) AS cosine
+FROM b CROSS JOIN q
+WHERE bucket = qb AND vec_id <> 0
+ORDER BY cosine DESC, vec_id LIMIT 10
+""",
+)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 for the vec_id=0 query: 4 random hyperplanes → 16 sign
+    buckets; scan only the query's bucket, exact cosine inside it. At scale
+    the table is written partitioned by bucket → partition pruning replaces
+    the full scan. Planes are seeded literals in both engines."""
+    emb = _read(spark, sf_dir, "embeddings")
+    b = emb.select(
+        "vec_id",
+        "embedding",
+        _s_bucket_expr("embedding").alias("bucket"),
+        PT.s_norm("embedding").alias("nrm"),
+    )
+    q = b.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"), F.col("bucket").alias("qb"), F.col("nrm").alias("qn")
+    )
+    cos = F.round(PT.s_dot("embedding", "qv") / (F.col("nrm") * F.col("qn")), 4)
+    return (
+        b.crossJoin(F.broadcast(q))
+        .filter((F.col("bucket") == F.col("qb")) & (F.col("vec_id") != 0))
+        .select("vec_id", "bucket", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: language ID (stopword-profile heuristic)
+# ---------------------------------------------------------------------------
+def _d_langid_sql() -> str:
+    toks = _D_TOKS
+    structs = []
+    for lang, words in _LANG_PROFILES.items():
+        if not words:
+            continue
+        inlist = ", ".join(f"'{w}'" for w in words)
+        score = (
+            f"len(list_filter({toks}, t -> t IN ({inlist})))::DOUBLE"
+            f" / greatest(len({toks}), 1)"
+        )
+        structs.append(f"{{'s': {score}, 'l': '{lang}'}}")
+    best = f"list_sort([{', '.join(structs)}])[-1]"
+    cjk = "length(regexp_replace(text, '[^一-鿿]', '', 'g'))"
+    return f"""
+SELECT doc_id,
+       CASE WHEN {cjk} > length(text) * 0.25 THEN 'zh'
+            WHEN ({best}).s > 0 THEN ({best}).l
+            ELSE 'und' END AS lang_pred
+FROM documents
+"""
+
+
+@register("text_langid", _d_langid_sql())
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via stopword-profile ratios + CJK codepoint share — the
+    cheap JVM-side pre-training language filter. Oracle replicates the
+    argmax-(score, lang) selection exactly."""
+    docs = _read(spark, sf_dir, "documents")
+    return detect_language(docs).select("doc_id", "lang_pred")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: token counting (whitespace + BPE-ish regex pieces)
+# ---------------------------------------------------------------------------
+@register(
+    "text_token_counts",
+    rf"""
+SELECT doc_id,
+       len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> ''))::BIGINT AS n_ws,
+       (len(regexp_extract_all(text, '\w+'))
+        + len(regexp_extract_all(text, '[^\w\s]')))::BIGINT AS n_bpe
+FROM documents
+""",
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + GPT-2-style regex-piece count (word runs +
+    punctuation chars). The oracle proves the split-based Spark implementation
+    equals the closed-form count."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_ws"),
+        bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: rolling-hash document fingerprints (winnowing-style)
+# ---------------------------------------------------------------------------
+@register(
+    "text_fingerprint",
+    f"""
+WITH fp AS (
+  SELECT doc_id, {PT.d_window_fps(_D_TOK_HASHES)} AS fps FROM documents)
+SELECT doc_id,
+       len(fps)::BIGINT AS n_windows,
+       len(list_distinct(fps))::BIGINT AS n_distinct_fp,
+       list_min(fps) AS min_fp
+FROM fp
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 3-token polynomial fingerprints per doc (plagiarism / near-dup
+    signatures); min_fp is the winnowing representative. Pure array
+    expressions; the pandas-UDF 64-bit variant (functions/text.py) is the
+    scale path."""
+    docs = _read(spark, sf_dir, "documents")
+    fps = PT.s_window_fps(F.col("hs"))
+    return PT.s_token_hash_arrays(docs).select(
+        F.col("id").alias("doc_id"),
+        F.size(fps).cast("long").alias("n_windows"),
+        F.size(F.array_distinct(fps)).cast("long").alias("n_distinct_fp"),
+        F.array_min(fps).alias("min_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10 highlighting (SolrClientTool.java:176-189) over BM25 top-3
+# ---------------------------------------------------------------------------
+@register(
+    "fts_q10_highlight",
+    rf"""
+WITH {_BM25_CTES},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term IN ('table','value')
+       GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (c.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * s.dl / c.avgdl)) ) AS score,
+         count(*) AS ng
+  FROM tf JOIN df USING(term) JOIN doc_stats s USING(doc_id) CROSS JOIN corpus c
+  GROUP BY tf.doc_id),
+topk AS (SELECT doc_id, score FROM scored WHERE ng = 2
+         ORDER BY score DESC, doc_id LIMIT 3)
+SELECT t.doc_id, round(t.score, 4) AS score,
+       regexp_replace(d.text, '\b(table|value)\b', '<mark>\1</mark>', 'g') AS highlighted
+FROM topk t JOIN documents d USING(doc_id)
+""",
+)
+def fts_q10_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Highlighting: wrap analyzed-term matches in <mark> on the top-k docs
+    only (never the full corpus) — SolrClientTool.find + highlight,
+    util/SolrClientTool.java:176-189."""
+    from intuition_spark.driver_gate import _bm25_parts, _bm25_score_col
+
+    terms = ["table", "value"]
+    tf, stats, idf = _bm25_parts(spark, sf_dir, terms)
+    scored = (
+        tf.join(idf, "term")
+        .join(stats, "doc_id")
+        .withColumn("contrib", _bm25_score_col())
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("score"), F.count("*").alias("ng"))
+        .filter(F.col("ng") == len(terms))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(3)
+    )
+    docs = _read(spark, sf_dir, "documents")
+    return scored.join(docs, "doc_id").select(
+        "doc_id",
+        F.round("score", 4).alias("score"),
+        F.regexp_replace("text", r"\b(table|value)\b", "<mark>$1</mark>").alias("highlighted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W3 sentence-island grouping (TextServiceImpl.getSentences:123-147)
+# ---------------------------------------------------------------------------
+@register(
+    "fts_w3_islands",
+    f"""
+WITH {_TOKS_CTE},
+hits AS (SELECT doc_id, pos FROM toks WHERE term = 'merge'),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 2
+              THEN 0 ELSE 1 END AS new_island
+  FROM hits)
+SELECT doc_id, count(*)::BIGINT AS n_hits, sum(new_island)::BIGINT AS n_islands
+FROM flagged GROUP BY doc_id
+""",
+)
+def fts_w3_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hit-island grouping: consecutive hits ≤2 positions apart share an
+    island, a gap >2 starts a new one — the sentence-island windowing of
+    TextServiceImpl.getSentences:123-147 as lag() + running sum."""
+    from intuition_spark.driver_gate import _tokens
+
+    hits = _tokens(spark, sf_dir).filter(F.col("term") == "merge")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = hits.withColumn(
+        "new_island",
+        F.when(F.col("pos") - F.lag("pos").over(w) <= 2, F.lit(0)).otherwise(F.lit(1)),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_hits"),
+        F.sum("new_island").cast("long").alias("n_islands"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 references-section cutoff analogue (TextServiceImpl.java:288-326)
+# ---------------------------------------------------------------------------
+@register(
+    "fts_q16_cutoff",
+    f"""
+WITH {_TOKS_CTE},
+cutoff AS (SELECT doc_id, min(pos) AS valid_upto FROM toks WHERE term = 'window'
+             GROUP BY doc_id),
+hits AS (SELECT doc_id, pos FROM toks WHERE term = 'key')
+SELECT h.doc_id,
+       count(*)::BIGINT AS n_total_hits,
+       sum(CASE WHEN c.valid_upto IS NULL OR h.pos < c.valid_upto THEN 1 ELSE 0 END)::BIGINT
+         AS n_valid_hits
+FROM hits h LEFT JOIN cutoff c ON c.doc_id = h.doc_id
+GROUP BY h.doc_id
+""",
+)
+def fts_q16_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc valid_upto offset (first marker-term position) computed at
+    index time; matches after it don't count — the references-section cutoff
+    of TextServiceImpl.getReferencesPosition:288-326."""
+    from intuition_spark.driver_gate import _tokens
+
+    toks = _tokens(spark, sf_dir)
+    cutoff = (
+        toks.filter(F.col("term") == "window")
+        .groupBy("doc_id")
+        .agg(F.min("pos").alias("valid_upto"))
+    )
+    hits = toks.filter(F.col("term") == "key")
+    return (
+        hits.join(cutoff, "doc_id", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_total_hits"),
+            F.sum(
+                F.when(
+                    F.col("valid_upto").isNull() | (F.col("pos") < F.col("valid_upto")), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_valid_hits"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q17 proximity-validation (TextServiceImpl.validateText:375-517, slop 5)
+# ---------------------------------------------------------------------------
+@register(
+    "fts_q17_prox_validate",
+    f"""
+WITH {_TOKS_CTE},
+a AS (SELECT doc_id, pos FROM toks WHERE term = 'row'),
+b AS (SELECT doc_id, pos FROM toks WHERE term = 'scan')
+SELECT a.doc_id, min(abs(a.pos - b.pos))::BIGINT AS min_dist
+FROM a JOIN b USING(doc_id)
+GROUP BY a.doc_id
+HAVING min(abs(a.pos - b.pos)) <= 5
+""",
+)
+def fts_q17_prox_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-term word-distance validation: docs where 'row' and 'scan' occur
+    within ≤5 positions — the `\\bGENE\\W+(?:\\w+\\W+){{0,5}}?MUT\\b` proximity
+    regex of TextServiceImpl.validateText as a position-delta predicate."""
+    from intuition_spark.driver_gate import _tokens
+
+    toks = _tokens(spark, sf_dir)
+    a = toks.filter(F.col("term") == "row").select("doc_id", F.col("pos").alias("pa"))
+    b = toks.filter(F.col("term") == "scan").select("doc_id", F.col("pos").alias("pb"))
+    return (
+        a.join(b, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.min(F.abs(F.col("pa") - F.col("pb"))).cast("long").alias("min_dist"))
+        .filter(F.col("min_dist") <= 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (rows-only: media payloads aren't DuckDB views; the
+# decode step is a documented deterministic stub — see functions/multimodal.py)
+# ---------------------------------------------------------------------------
+@register("mm_media_features", None)
+def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column → mapInPandas decode (stub) → pooled feature
+    vector; output is deterministic so the rows-only gate is stable."""
+    from intuition_spark.functions.multimodal import extract_features, synthetic_media
+
+    media = synthetic_media(spark, n=64)
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.round(
+            F.aggregate("feature", F.lit(0.0), lambda a, x: a + x.cast("double")), 4
+        ).alias("feat_sum"),
+    ).orderBy("media_id")
+
+
+@register("mm_frame_sample", None)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: one row per sampled frame (mapInPandas over
+    binary payloads), metadata + frame byte-length only on output."""
+    from intuition_spark.functions.multimodal import sample_frames, synthetic_media
+
+    media = synthetic_media(spark, n=64)
+    frames = sample_frames(media, every_ms=1000)
+    return frames.select(
+        "media_id", "frame_idx", "t_ms", F.length("payload").alias("n_bytes")
+    ).orderBy("media_id", "frame_idx")
