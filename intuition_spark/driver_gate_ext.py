@@ -628,3 +628,200 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "media_id", "frame_idx", "t_ms", F.length("payload").alias("n_bytes")
     ).orderBy("media_id", "frame_idx")
+
+
+# ---------------------------------------------------------------------------
+# Engine-backed multi-term + OR-group entries (the strongest gate items: they
+# run the real segmented/compressed index, yet reproduce in from-scratch SQL)
+# ---------------------------------------------------------------------------
+def _engine(spark: SparkSession, sf_dir: str):
+    from intuition_spark.driver_engine import get_documents_engine
+
+    return get_documents_engine(spark, sf_dir)
+
+
+@register(
+    "fts_engine_wildcard",
+    f"""
+WITH {_TOKS_CTE}
+SELECT DISTINCT doc_id || ':0' AS doc, 1.0 AS score
+FROM toks WHERE term LIKE 'ta%'
+""",
+)
+def fts_engine_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 wildcard `ta*` through the engine: dictionary scan with literal-
+    prefix pushdown → term expansion → constant-score union (Lucene
+    CONSTANT_SCORE multi-term rewrite; SolrServiceImpl.java:434 flips to the
+    ws field for wildcards)."""
+    from intuition_spark.query.ast import Query
+
+    eng = _engine(spark, sf_dir)
+    q = Query("gate_wild", "wildcard", [["ta*"]], k=1_000_000, analyzer="ws")
+    return eng.search(q).select("doc", "score")
+
+
+@register(
+    "fts_engine_regex",
+    f"""
+WITH {_TOKS_CTE}
+SELECT DISTINCT doc_id || ':0' AS doc, 1.0 AS score
+FROM toks WHERE regexp_matches(term, '^(?:ta.le|v.lue)$')
+""",
+)
+def fts_engine_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 regex term query `/(ta.le|v.lue)/` through the engine's dictionary
+    (Test1.java:292-303), constant-score expansion."""
+    from intuition_spark.query.ast import Query
+
+    eng = _engine(spark, sf_dir)
+    q = Query("gate_rx", "regex", [["ta.le|v.lue"]], k=1_000_000, analyzer="ws")
+    return eng.search(q).select("doc", "score")
+
+
+@register(
+    "fts_engine_fuzzy",
+    f"""
+WITH {_TOKS_CTE}
+SELECT DISTINCT doc_id || ':0' AS doc, 1.0 AS score
+FROM toks WHERE levenshtein(term, 'tble') <= 1
+""",
+)
+def fts_engine_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 fuzzy `tble~1` through the engine: length-bucketed dictionary scan +
+    Levenshtein ≤1 (GeneMINDImpl.java:74-83 semantics), constant-score."""
+    from intuition_spark.query.ast import Query
+
+    eng = _engine(spark, sf_dir)
+    q = Query("gate_fz", "fuzzy", [["tble"]], k=1_000_000, analyzer="ws")
+    return eng.search(q).select("doc", "score")
+
+
+@register(
+    "fts_engine_or_groups",
+    f"""
+WITH {_BM25_CTES},
+qt(term, gid) AS (VALUES ('slow', 0), ('fast', 0), ('merge', 1)),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN (SELECT term FROM qt) GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (c.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * s.dl / c.avgdl)) ) AS score,
+         count(DISTINCT qt.gid) AS ng
+  FROM tf JOIN df USING(term) JOIN qt USING(term)
+       JOIN doc_stats s USING(doc_id) CROSS JOIN corpus c
+  GROUP BY tf.doc_id)
+SELECT doc_id || ':0' AS doc, round(score, 4) AS score
+FROM scored WHERE ng = 2
+""",
+)
+def fts_engine_or_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 boolean AND of synonym-OR groups through the engine's exhaustive
+    scorer: +(slow OR fast) +(merge) — buildSearchExpression shape,
+    SolrServiceImpl.java:336-413. No LIMIT → no top-k boundary to disagree
+    on; every doc matching all groups is returned."""
+    from intuition_spark.query.ast import Query
+
+    eng = _engine(spark, sf_dir)
+    q = Query(
+        "gate_or", "or_groups", [["slow", "fast"], ["merge"]], k=1_000_000, analyzer="ws"
+    )
+    hits = eng.search(q, mode="exhaustive")
+    return hits.select("doc", F.round("score", 4).alias("score"))
+
+
+@register(
+    "fts_engine_highlight",
+    f"""
+WITH {_BM25_CTES},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term IN ('table','value')
+       GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (c.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * s.dl / c.avgdl)) ) AS score,
+         count(*) AS ng
+  FROM tf JOIN df USING(term) JOIN doc_stats s USING(doc_id) CROSS JOIN corpus c
+  GROUP BY tf.doc_id),
+topk AS (SELECT doc_id, score FROM scored WHERE ng = 2
+         ORDER BY score DESC, CAST(doc_id AS VARCHAR) LIMIT 5)
+SELECT t.doc_id || ':0' AS doc, round(t.score, 4) AS score,
+       regexp_replace(d.text, '\\b(table|value)\\b', '<mark>\\1</mark>', 'g') AS highlighted
+FROM topk t JOIN documents d USING(doc_id)
+""",
+)
+def fts_engine_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 through the full engine stack: WAND top-5 over the compressed
+    index, then the analyzer-aware highlight pandas UDF over the stored text
+    of ONLY those 5 docs (SolrClientTool.java:176-189 fragsize=0 mode)."""
+    from intuition_spark.query.ast import Query
+    from intuition_spark.query.highlight import make_highlight_udf
+
+    eng = _engine(spark, sf_dir)
+    q = Query("gate_hl", "and", [["table"], ["value"]], k=5, analyzer="ws")
+    hits = eng.search(q, mode="wand")
+    docs = eng._docs("ws").select("doc", "text")
+    hl = make_highlight_udf(["table", "value"], analyzer="ws")
+    return hits.join(docs, "doc").select(
+        "doc", F.round("score", 4).alias("score"), hl(F.col("text")).alias("highlighted")
+    )
+
+
+@register(
+    "fts_engine_get_by_id",
+    f"""
+SELECT doc_id || ':0' AS doc, CAST(doc_id AS VARCHAR) AS conv_id,
+       0 AS turn_idx, text
+FROM documents WHERE doc_id IN (7, 11, 42)
+""",
+)
+def fts_engine_get_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 point lookup `client.getById` (SolrClientTool.java:328-337) against
+    the engine's docs store (doc-id-sorted parquet; at scale a bucketed point
+    lookup, not a scan)."""
+    eng = _engine(spark, sf_dir)
+    return eng.get_by_id(["7:0", "11:0", "42:0"], a="ws").select(
+        "doc", "conv_id", "turn_idx", "text"
+    )
+
+
+@register(
+    "fts_engine_filtered",
+    f"""
+WITH {_BM25_CTES},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term IN ('table','value')
+       GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (c.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * s.dl / c.avgdl)) ) AS score,
+         count(*) AS ng
+  FROM tf JOIN df USING(term) JOIN doc_stats s USING(doc_id) CROSS JOIN corpus c
+  GROUP BY tf.doc_id)
+SELECT doc_id || ':0' AS doc, round(score, 4) AS score
+FROM scored WHERE ng = 2 AND doc_id < 200
+""",
+)
+def fts_engine_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 non-scoring fq predicate through the engine: the candidate doc set
+    (`fq=pmid:(...)`, SolrClientTool.java:273,317) becomes a broadcast
+    left-semi join applied before the top-k — scoring semantics unchanged."""
+    from intuition_spark.query.ast import Query
+
+    eng = _engine(spark, sf_dir)
+    q = Query(
+        "gate_fq",
+        "and",
+        [["table"], ["value"]],
+        k=1_000_000,
+        analyzer="ws",
+        filter_docs=[f"{i}:0" for i in range(200)],
+    )
+    hits = eng.search(q, mode="exhaustive")
+    return hits.select("doc", F.round("score", 4).alias("score"))

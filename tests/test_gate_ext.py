@@ -31,6 +31,13 @@ EXT_ORACLE_ENTRIES = [
     "fts_w3_islands",
     "fts_q16_cutoff",
     "fts_q17_prox_validate",
+    "fts_engine_wildcard",
+    "fts_engine_regex",
+    "fts_engine_fuzzy",
+    "fts_engine_or_groups",
+    "fts_engine_highlight",
+    "fts_engine_get_by_id",
+    "fts_engine_filtered",
 ]
 
 EXT_ROWS_ONLY = ["mm_media_features", "mm_frame_sample"]
