@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from intuition_spark.analysis.analyzers import analyze_text
+from intuition_spark.index import codec
 from intuition_spark.index.builder import IndexPaths, decode_blocks_df
 from intuition_spark.query import wand
 from intuition_spark.query.ast import Query
@@ -58,11 +59,24 @@ class SearchEngine:
 
     ``index_dirs`` maps analyzer name → index root, mirroring the reference's
     dual ``text`` / ``text_ws`` fields (`model/SolrItem.java:32-33`).
+
+    Serving fast path: when a query's candidate postings are small
+    (Σ df ≤ SMALL_QUERY_POSTINGS) and carry no fq filters, ``mode="auto"``
+    collects the pushdown-filtered blocks to the driver and runs the SAME
+    block-max WAND scorer in-process — two tiny Spark scan jobs instead of a
+    shuffle + applyInPandas + join pipeline. This is what a serving node does
+    with a Lucene segment reader; the distributed path remains for head terms
+    and is forced with ``mode="wand"``/``"exhaustive"`` (identity-tested).
     """
 
     # dictionaries up to this many terms are cached driver-side: one parquet
     # read at init instead of one lookup job per query (serving-path latency)
     DICT_CACHE_MAX_TERMS = 2_000_000
+    # Σ df above which auto mode stays distributed (postings too big to pull)
+    SMALL_QUERY_POSTINGS = int(os.environ.get("INTUITION_SMALL_QUERY_POSTINGS", "2000000"))
+    # doc metadata (doc_id → docID/conv/turn/ts) cached driver-side below this
+    # corpus size: hydration becomes a local merge, no per-query Spark job
+    DOC_CACHE_MAX_DOCS = int(os.environ.get("INTUITION_DOC_CACHE_MAX_DOCS", "1000000"))
 
     def __init__(
         self, spark: SparkSession, index_dirs: dict[str, str] | str, cache_dictionary: bool = True
@@ -73,6 +87,9 @@ class SearchEngine:
         self.paths: dict[str, IndexPaths] = {a: IndexPaths(d) for a, d in index_dirs.items()}
         self.stats: dict[str, dict] = {}
         self._dict_cache: dict[str, dict[str, int]] = {}
+        self._doc_cache: dict[str, pd.DataFrame] = {}
+        self._postings_reader: dict[str, DataFrame] = {}
+        self._docs_reader: dict[str, DataFrame] = {}
         for a, p in self.paths.items():
             with open(p.stats) as f:
                 self.stats[a] = json.load(f)
@@ -83,6 +100,13 @@ class SearchEngine:
                     self._dict_cache[a] = dict(
                         zip(pdf["term"], pdf["df"].astype(int), strict=True)
                     )
+            if cache_dictionary and self.stats[a]["N"] <= self.DOC_CACHE_MAX_DOCS:
+                self._doc_cache[a] = (
+                    self.spark.read.parquet(p.docs)
+                    .select("doc_id", "doc", "conv_id", "turn_idx", "ts")
+                    .toPandas()
+                    .set_index("doc_id", drop=False)
+                )
 
     def refresh(self) -> None:
         """Reload stats + dictionary cache after incremental merges."""
@@ -97,11 +121,21 @@ class SearchEngine:
 
     def _blocks(self, a: str, terms: list[str]) -> DataFrame:
         # term IN (...) is pushed down to the parquet scan; postings files are
-        # sorted by term within each seg partition → row-group pruning
-        return self.spark.read.parquet(self.paths[a].postings).filter(F.col("term").isin(terms))
+        # sorted by term within each seg partition → row-group pruning.
+        # The reader (file listing + schema) is cached per analyzer — rebuilt
+        # only on refresh() — so per-query planning cost is just the filter.
+        df = self._postings_reader.get(a)
+        if df is None:
+            df = self.spark.read.parquet(self.paths[a].postings)
+            self._postings_reader[a] = df
+        return df.filter(F.col("term").isin(terms))
 
     def _docs(self, a: str) -> DataFrame:
-        return self.spark.read.parquet(self.paths[a].docs)
+        df = self._docs_reader.get(a)
+        if df is None:
+            df = self.spark.read.parquet(self.paths[a].docs)
+            self._docs_reader[a] = df
+        return df
 
     def _tombstones(self, a: str) -> np.ndarray:
         """Sorted doc_ids deleted by incremental upserts (empty if none).
@@ -194,20 +228,243 @@ class SearchEngine:
     # ---- search --------------------------------------------------------
     def search(self, q: Query, mode: str = "auto") -> DataFrame:
         a = self._route(q)
+        has_filter = q.filter_docs is not None or q.ts_after is not None or q.require_no_tool
         if q.kind in ("wildcard", "regex", "fuzzy"):
-            return self._search_multiterm(q, a)
+            return self._search_multiterm(q, a, driver_ok=(mode == "auto" and not has_filter))
         if q.kind == "tf_sort":
+            if mode == "auto" and not has_filter:
+                term = analyze_text(q.groups[0][0], a)[0][0]
+                if self._small_enough(a, [term]):
+                    return self._driver_tf_sort(q, a, term)
             return self._search_tf_sort(q, a)
         atoms = self._parse_atoms(q, a)
         if not atoms:
-            return self.spark.createDataFrame(
-                [], "doc string, score double, conv_id string, turn_idx int"
-            )
+            return self._empty_hits()
         has_phrase = any(len(at.terms) > 1 for at in atoms)
-        has_filter = q.filter_docs is not None or q.ts_after is not None or q.require_no_tool
+        if mode == "auto" and not has_filter:
+            terms = sorted({t for at in atoms for t in at.terms})
+            if self._small_enough(a, terms):
+                if has_phrase:
+                    return self._driver_exhaustive(q, a, atoms)
+                return self._driver_wand(q, a, atoms)
         if mode == "wand" or (mode == "auto" and not has_phrase and not has_filter):
             return self._search_wand(q, a, atoms, prune=True)
         return self._search_exhaustive(q, a, atoms)
+
+    # ---- driver fast path (serving latency) ----------------------------
+    def _empty_hits(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [], "doc string, score double, conv_id string, turn_idx int"
+        )
+
+    def _small_enough(self, a: str, terms: list[str]) -> bool:
+        if a not in self._dict_cache:
+            return False
+        cache = self._dict_cache[a]
+        return sum(cache.get(t, 0) for t in terms) <= self.SMALL_QUERY_POSTINGS
+
+    def _collect_blocks(self, a: str, terms: list[str], with_positions: bool = False):
+        cols = [
+            "seg", "term", "n", "first_doc", "last_doc", "max_tf", "min_dl",
+            "docs_bin", "tfs_bin", "dls_bin",
+        ]
+        if with_positions:
+            cols.append("pos_bin")
+        return self._blocks(a, terms).select(*cols).toPandas()
+
+    def _driver_hydrate(self, cand: pd.DataFrame, q: Query, order=("score",)) -> DataFrame:
+        """Fetch doc metadata for the (small) candidate set and produce the
+        canonical hit frame locally. One pushdown point-lookup scan job."""
+        a = self._route(q)
+        if cand.empty:
+            return self._empty_hits()
+        cached = self._doc_cache.get(a)
+        if cached is not None:
+            docs = cached.loc[cached.index.intersection(cand["doc_id"])].reset_index(drop=True)
+        else:
+            ids = [int(d) for d in cand["doc_id"].tolist()]
+            docs = (
+                self._docs(a)
+                .filter(F.col("doc_id").isin(ids))
+                .select("doc_id", "doc", "conv_id", "turn_idx", "ts")
+                .toPandas()
+            )
+        m = cand.merge(docs, on="doc_id")
+        sort_cols, asc = [], []
+        for c in order:
+            sort_cols.append("ts" if c == "ts" else c)
+            asc.append(c not in ("score", "tf", "ts"))
+        m = m.sort_values(
+            sort_cols + ["conv_id", "turn_idx"], ascending=asc + [True, True], kind="mergesort"
+        ).head(q.k)
+        out = m[["doc", "score", "conv_id", "turn_idx"]]
+        return self.spark.createDataFrame(
+            out, schema="doc string, score double, conv_id string, turn_idx int"
+        )
+
+    def _driver_wand(self, q: Query, a: str, atoms: list[_Atom]) -> DataFrame:
+        """Small-query WAND on the driver: same scorer, same blocks, no
+        shuffle. Latency = postings point-scan + docs point-scan."""
+        meta, n_groups = self._term_meta(a, atoms)
+        avgdl = self.stats[a]["avgdl"]
+        pdf = self._collect_blocks(a, list(meta))
+        if pdf.empty:
+            return self._empty_hits()
+        scorer = wand.make_segment_scorer(
+            meta, n_groups, q.k, avgdl, prune=True, excluded=self._tombstones(a)
+        )
+        outs = [scorer((seg,), g) for seg, g in pdf.groupby("seg", sort=False)]
+        cand = pd.concat(outs, ignore_index=True) if outs else pd.DataFrame()
+        if cand.empty:
+            return self._empty_hits()
+        cand = cand.sort_values("score", ascending=False, kind="mergesort")
+        if len(cand) > q.k:  # keep score ties at the k-boundary for tiebreak
+            cutoff = float(cand["score"].iloc[q.k - 1])
+            cand = cand[cand["score"] >= cutoff]
+        return self._driver_hydrate(cand, q)
+
+    def _driver_tf_sort(self, q: Query, a: str, term: str) -> DataFrame:
+        pdf = self._collect_blocks(a, [term])
+        if pdf.empty:
+            return self._empty_hits()
+        docs_l, tfs_l = [], []
+        for row in pdf.itertuples(index=False):
+            docs_l.append(codec.delta_decode(row.docs_bin, int(row.n)))
+            tfs_l.append(codec.varint_decode(row.tfs_bin, int(row.n)))
+        docs = np.concatenate(docs_l).astype(np.int64)
+        tfs = np.concatenate(tfs_l).astype(np.int64)
+        tomb = self._tombstones(a)
+        if tomb.size:
+            keep = ~np.isin(docs, tomb)
+            docs, tfs = docs[keep], tfs[keep]
+        if docs.size == 0:
+            return self._empty_hits()
+        order = np.argsort(-tfs, kind="stable")
+        if order.size > q.k:  # keep tf ties at the boundary (ts tiebreak next)
+            cutoff = tfs[order[q.k - 1]]
+            order = order[tfs[order] >= cutoff]
+        cand = pd.DataFrame(
+            {"doc_id": docs[order], "score": tfs[order].astype(np.float64)}
+        )
+        return self._driver_hydrate(cand, q, order=("score", "ts"))
+
+    def _driver_exhaustive(self, q: Query, a: str, atoms: list[_Atom]) -> DataFrame:
+        """Small-query exhaustive scoring (incl. phrase/proximity positional
+        matching) on the driver — same block decode, same sloppy-phrase
+        semantics, two point-scan jobs total."""
+        meta, n_groups = self._term_meta(a, atoms)
+        avgdl = self.stats[a]["avgdl"]
+        N = self.stats[a]["N"]
+        single = [at for at in atoms if len(at.terms) == 1]
+        phrases = [at for at in atoms if len(at.terms) > 1]
+        need_pos = bool(phrases)
+        all_terms = sorted({t for at in atoms for t in at.terms})
+        pdf = self._collect_blocks(a, all_terms, with_positions=need_pos)
+        if pdf.empty:
+            return self._empty_hits()
+
+        doc_parts, gid_parts, w_parts = [], [], []
+
+        single_terms = {at.terms[0]: at.gid for at in single}
+        for row in pdf.itertuples(index=False):
+            if row.term not in single_terms:
+                continue
+            n = int(row.n)
+            docs = codec.delta_decode(row.docs_bin, n)
+            tfs = codec.varint_decode(row.tfs_bin, n).astype(np.float64)
+            dls = codec.varint_decode(row.dls_bin, n).astype(np.float64)
+            idf = meta[row.term][1]
+            doc_parts.append(docs.astype(np.int64))
+            gid_parts.append(np.full(n, single_terms[row.term], dtype=np.int32))
+            w_parts.append(idf * wand._weight(tfs, dls, avgdl))
+
+        for at in phrases:
+            dfs = self._dfs_for_terms(a, sorted(set(at.terms)))
+            idf_sum = sum(bm25_idf(N, dfs.get(t, 0)) for t in set(at.terms))
+            # per-segment positional intersection (positions are complete per seg)
+            for _, seg_pdf in pdf.groupby("seg", sort=False):
+                per_term: dict[str, dict[int, np.ndarray]] = {}
+                dlmap: dict[int, float] = {}
+                for t in set(at.terms):
+                    rows_t = seg_pdf[seg_pdf["term"] == t]
+                    if rows_t.empty:
+                        per_term = {}
+                        break
+                    pm: dict[int, np.ndarray] = {}
+                    for row in rows_t.itertuples(index=False):
+                        n = int(row.n)
+                        docs = codec.delta_decode(row.docs_bin, n)
+                        tfs = codec.varint_decode(row.tfs_bin, n)
+                        dls = codec.varint_decode(row.dls_bin, n)
+                        plists = codec.decode_positions(row.pos_bin, tfs)
+                        for d, dl, pl in zip(docs.tolist(), dls.tolist(), plists):
+                            pm[int(d)] = pl
+                            dlmap[int(d)] = float(dl)
+                    per_term[t] = pm
+                if not per_term:
+                    continue
+                cand = set.intersection(*[set(pm) for pm in per_term.values()])
+                for d in cand:
+                    plists = [np.asarray(per_term[t][d]) for t in at.terms]
+                    tf = _phrase_tf(plists, at.slop)
+                    if tf > 0:
+                        w = idf_sum * tf * (K1 + 1.0) / (
+                            tf + K1 * (1.0 - B + B * dlmap[d] / avgdl)
+                        )
+                        doc_parts.append(np.array([d], dtype=np.int64))
+                        gid_parts.append(np.array([at.gid], dtype=np.int32))
+                        w_parts.append(np.array([w], dtype=np.float64))
+
+        if not doc_parts:
+            return self._empty_hits()
+        frame = pd.DataFrame(
+            {
+                "doc_id": np.concatenate(doc_parts),
+                "gid": np.concatenate(gid_parts),
+                "contrib": np.concatenate(w_parts),
+            }
+        )
+        agg = frame.groupby("doc_id").agg(
+            score=("contrib", "sum"), ng=("gid", "nunique")
+        )
+        agg = agg[agg["ng"] == n_groups]
+        tomb = self._tombstones(a)
+        if tomb.size:
+            agg = agg[~agg.index.isin(tomb)]
+        if agg.empty:
+            return self._empty_hits()
+        cand = agg.reset_index()[["doc_id", "score"]].sort_values(
+            "score", ascending=False, kind="mergesort"
+        )
+        if len(cand) > q.k:
+            cutoff = float(cand["score"].iloc[q.k - 1])
+            cand = cand[cand["score"] >= cutoff]
+        return self._driver_hydrate(cand, q)
+
+    def _expand_cached(self, a: str, pattern: str, kind: str, fuzzy_max: int = 1) -> list[str] | None:
+        """Dictionary expansion against the driver-side cache (no Spark job);
+        None when the cache is absent (fall back to the distributed scan)."""
+        cache = self._dict_cache.get(a)
+        if cache is None:
+            return None
+        import re as _re
+
+        p = pattern.lower()
+        if kind == "wildcard":
+            rx = _re.compile(
+                "^" + "".join(".*" if c == "*" else "." if c == "?" else rx_escape(c) for c in p) + "$"
+            )
+            return [t for t in cache if rx.match(t)]
+        if kind == "regex":
+            rx = _re.compile("^(?:" + p + ")$")
+            return [t for t in cache if rx.match(t)]
+        if kind == "fuzzy":
+            return [
+                t
+                for t in cache
+                if abs(len(t) - len(p)) <= fuzzy_max and _lev_le(t, p, fuzzy_max)
+            ]
+        raise ValueError(kind)
 
     def _term_meta(self, a: str, atoms: list[_Atom]) -> tuple[dict[str, tuple[int, float]], int]:
         """term → (gid, idf). Phrase terms carry the phrase gid; a term used in
@@ -354,18 +611,46 @@ class SearchEngine:
             .limit(q.k)
         )
 
-    def _search_multiterm(self, q: Query, a: str) -> DataFrame:
+    def _search_multiterm(self, q: Query, a: str, driver_ok: bool = False) -> DataFrame:
         """Q5/Q6/Q7: dictionary expansion → constant-score union (Lucene
         CONSTANT_SCORE multi-term rewrite, the Solr 8 default)."""
         pattern = q.groups[0][0]
-        terms = self.expand_dictionary(a, pattern, q.kind)
+        terms = None
+        if driver_ok:
+            terms = self._expand_cached(a, pattern, q.kind)
+            if terms is not None and self._small_enough(a, terms):
+                return self._driver_multiterm(q, a, terms)
+        if terms is None:
+            terms = self.expand_dictionary(a, pattern, q.kind)
         if not terms:
-            return self.spark.createDataFrame(
-                [], "doc string, score double, conv_id string, turn_idx int"
-            )
+            return self._empty_hits()
         rows = decode_blocks_df(self._blocks(a, terms))
         scored = rows.select("doc_id").distinct().withColumn("score", F.lit(1.0))
         return self._finalize(scored, q, a)
+
+    def _driver_multiterm(self, q: Query, a: str, terms: list[str]) -> DataFrame:
+        if not terms:
+            return self._empty_hits()
+        pdf = self._collect_blocks(a, terms)
+        if pdf.empty:
+            return self._empty_hits()
+        docs = np.unique(
+            np.concatenate(
+                [codec.delta_decode(r.docs_bin, int(r.n)) for r in pdf.itertuples(index=False)]
+            ).astype(np.int64)
+        )
+        tomb = self._tombstones(a)
+        if tomb.size:
+            docs = docs[~np.isin(docs, tomb)]
+        # constant score → the k-boundary is decided purely by (conv, turn);
+        # doc_id order is (seg-major) not conv order, so only pre-trim when
+        # everything fits anyway
+        cand = pd.DataFrame({"doc_id": docs, "score": np.full(docs.size, 1.0)})
+        if len(cand) > q.k:
+            return self._finalize(
+                self.spark.createDataFrame(cand, schema="doc_id long, score double"), q, a
+            )
+        return self._driver_hydrate(cand, q)
 
     def get_by_id(self, docs: list[str], a: str | None = None) -> DataFrame:
         """Q12 `client.getById` (`SolrClientTool.java:328-337`)."""
@@ -399,3 +684,23 @@ def _phrase_tf(plists: list[np.ndarray], slop: int) -> int:
 
 def rx_escape(c: str) -> str:
     return "\\" + c if c in ".^$+{}[]|()\\" else c
+
+
+def _lev_le(a: str, b: str, maxd: int) -> bool:
+    """Levenshtein(a, b) ≤ maxd, banded DP with early exit (dictionary-cache
+    fuzzy expansion; matches Spark's levenshtein() semantics)."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > maxd:
+        return False
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] * (lb + 1)
+        ca = a[i - 1]
+        for j in range(1, lb + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != b[j - 1]))
+        if min(cur) > maxd:
+            return False
+        prev = cur
+    return prev[lb] <= maxd

@@ -56,28 +56,33 @@ QUERIES = {q.query_id: q for q in reference_queries(k=10)}
 def test_term_queries(engine, oracle_ix, qid):
     _run_and_compare(engine, oracle_ix, QUERIES[qid], "exhaustive")
     _run_and_compare(engine, oracle_ix, QUERIES[qid], "wand")
+    _run_and_compare(engine, oracle_ix, QUERIES[qid], "auto")  # driver fast path
 
 
 @pytest.mark.parametrize("qid", ["and_00", "and_01", "and_04", "and_08"])
 def test_and_queries(engine, oracle_ix, qid):
     _run_and_compare(engine, oracle_ix, QUERIES[qid], "exhaustive")
     _run_and_compare(engine, oracle_ix, QUERIES[qid], "wand")
+    _run_and_compare(engine, oracle_ix, QUERIES[qid], "auto")  # driver fast path
 
 
 @pytest.mark.parametrize("qid", ["or_00", "or_01", "or_03", "or_06"])
 def test_or_group_queries(engine, oracle_ix, qid):
     _run_and_compare(engine, oracle_ix, QUERIES[qid], "exhaustive")
     _run_and_compare(engine, oracle_ix, QUERIES[qid], "wand")
+    _run_and_compare(engine, oracle_ix, QUERIES[qid], "auto")  # driver fast path
 
 
 @pytest.mark.parametrize("qid", ["phrase_00", "phrase_01", "phrase_03", "phrase_04"])
 def test_phrase_queries(engine, oracle_ix, qid):
     _run_and_compare(engine, oracle_ix, QUERIES[qid], "exhaustive")
+    _run_and_compare(engine, oracle_ix, QUERIES[qid], "auto")  # driver fast path
 
 
 @pytest.mark.parametrize("qid", ["prox_00", "prox_02", "prox_05"])
 def test_proximity_queries(engine, oracle_ix, qid):
     _run_and_compare(engine, oracle_ix, QUERIES[qid], "exhaustive")
+    _run_and_compare(engine, oracle_ix, QUERIES[qid], "auto")  # driver fast path
 
 
 @pytest.mark.parametrize("qid", ["wild_00", "wild_01", "wild_02"])
