@@ -825,3 +825,104 @@ def fts_engine_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hits = eng.search(q, mode="exhaustive")
     return hits.select("doc", F.round("score", 4).alias("score"))
+
+
+# ---------------------------------------------------------------------------
+# Q18 k-mer sequence search (GeneMINDImpl.findSequence:189-241): overlapping
+# character 5-mers + positional adjacency — the genome-search machinery of the
+# reference applied to transcript text.
+# ---------------------------------------------------------------------------
+_KMER_QUERY = "tablepart"  # despaced query; 5-mers: table ablep blepa lepar epart
+_K = 5
+
+
+@register(
+    "fts_q18_kmer",
+    f"""
+WITH d AS (SELECT doc_id, replace(text, ' ', '') AS s FROM documents)
+SELECT doc_id,
+       ((length(s) - length(replace(s, '{_KMER_QUERY}', ''))) / {len(_KMER_QUERY)})::BIGINT
+         AS n_matches
+FROM d WHERE contains(s, '{_KMER_QUERY}')
+""",
+)
+def fts_q18_kmer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring search via k-mer positional intersection: explode overlapping
+    character 5-mers with positions, join the query's consecutive 5-mers on
+    (doc, base_position) and require all of them — exactly the 5-mer
+    complexphrase of GeneMINDImpl (Test1.java:1791 spacify). The oracle is the
+    closed-form substring count, proving the k-mer plan computes substring
+    semantics."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace("text", " ", "").alias("s")
+    )
+    qk = [_KMER_QUERY[i : i + _K] for i in range(len(_KMER_QUERY) - _K + 1)]
+    kmers = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.length("s") - _K, F.lit(0))),
+                lambda i: F.col("s").substr(i + 1, F.lit(_K)),
+            )
+        ).alias("pos", "kmer"),
+    ).filter(F.length("kmer") == _K)
+    hits = None
+    for j, k in enumerate(qk):
+        h = kmers.filter(F.col("kmer") == k).select(
+            "doc_id", (F.col("pos") - j).alias("base")
+        )
+        hits = h if hits is None else hits.join(h, ["doc_id", "base"])
+    return hits.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_matches"))
+
+
+# ---------------------------------------------------------------------------
+# J2 supporting→parent fold with rank-stable dedupe
+# (AnalyticsServiceImpl.java:243-254; ArticleController.java:453-463)
+# ---------------------------------------------------------------------------
+@register(
+    "rel_j2_rank_fold",
+    f"""
+WITH {_BM25_CTES},
+tf AS (SELECT doc_id, count(*) AS tf FROM toks WHERE term = 'batch' GROUP BY doc_id),
+df AS (SELECT count(*) AS df FROM tf),
+ranked AS (
+  SELECT tf.doc_id,
+         ln(1 + (c.n - d.df + 0.5) / (d.df + 0.5))
+           * tf.tf * (1.2 + 1.0)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * s.dl / c.avgdl)) AS score
+  FROM tf JOIN doc_stats s USING(doc_id) CROSS JOIN corpus c CROSS JOIN df d),
+ordered AS (
+  SELECT doc_id, doc_id % 100 AS parent, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+  FROM ranked),
+folded AS (
+  SELECT parent, doc_id, rnk,
+         row_number() OVER (PARTITION BY parent ORDER BY rnk) AS pos
+  FROM ordered)
+SELECT parent, doc_id AS best_doc, rnk::BIGINT AS best_rank
+FROM folded WHERE pos = 1
+""",
+)
+def rel_j2_rank_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supporting→parent fold: rank results by BM25, map each doc to its
+    parent key, keep the FIRST (best-ranked) member per parent — the
+    LinkedHashSet ordered-dedupe of the reference expressed as two windows
+    (rank, then row_number per parent)."""
+    from intuition_spark.driver_gate import _bm25_parts, _bm25_score_col
+
+    tf, stats, idf = _bm25_parts(spark, sf_dir, ["batch"])
+    ranked = (
+        tf.join(idf, "term")
+        .join(stats, "doc_id")
+        .select("doc_id", _bm25_score_col().alias("score"))
+    )
+    w_rank = Window.orderBy(F.desc("score"), "doc_id")
+    ordered = ranked.select(
+        "doc_id", (F.col("doc_id") % 100).alias("parent"), F.row_number().over(w_rank).alias("rnk")
+    )
+    w_fold = Window.partitionBy("parent").orderBy("rnk")
+    return (
+        ordered.withColumn("pos", F.row_number().over(w_fold))
+        .filter(F.col("pos") == 1)
+        .select("parent", F.col("doc_id").alias("best_doc"), F.col("rnk").cast("long").alias("best_rank"))
+    )

@@ -38,6 +38,8 @@ EXT_ORACLE_ENTRIES = [
     "fts_engine_highlight",
     "fts_engine_get_by_id",
     "fts_engine_filtered",
+    "fts_q18_kmer",
+    "rel_j2_rank_fold",
 ]
 
 EXT_ROWS_ONLY = ["mm_media_features", "mm_frame_sample"]
