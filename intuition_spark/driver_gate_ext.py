@@ -926,3 +926,45 @@ def rel_j2_rank_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pos") == 1)
         .select("parent", F.col("doc_id").alias("best_doc"), F.col("rnk").cast("long").alias("best_rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Q19 result clustering (Carrot2 /clustering, SolrClientTool.java:235-268) —
+# rows-only gate: k-means isn't SQL-expressible, but the output is
+# deterministic (fixed init, fixed iterations, stable tie-breaks)
+# ---------------------------------------------------------------------------
+@register("fts_q19_clustering", None)
+def fts_q19_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster the top-200 hits of a term query into 4 labeled groups over
+    their TF-IDF vectors — post-retrieval only, like the reference's
+    client-side Carrot2 (top-200 docs, never a corpus scan)."""
+    import pandas as pd
+
+    from intuition_spark.driver_gate import _tokens
+    from intuition_spark.functions.clustering import (
+        cluster_labels,
+        kmeans_deterministic,
+        tfidf_matrix,
+    )
+
+    toks = _tokens(spark, sf_dir)
+    top = (
+        toks.filter(F.col("term") == "table")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("tf"))
+        .orderBy(F.desc("tf"), "doc_id")
+        .limit(200)
+        .select("doc_id")
+    )
+    hit_toks = toks.join(F.broadcast(top), "doc_id").select("doc_id", "term")
+    ids, vocab, X = tfidf_matrix(hit_toks)
+    assign = kmeans_deterministic(X, k=4)
+    labels = cluster_labels(vocab, X, assign)
+    out = pd.DataFrame(
+        {
+            "doc_id": ids,
+            "cluster": assign.astype("int32"),
+            "label": [labels[int(c)] for c in assign],
+        }
+    )
+    return spark.createDataFrame(out, schema="doc_id long, cluster int, label string")

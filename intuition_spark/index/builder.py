@@ -132,39 +132,54 @@ def _make_segment_indexer(analyzer: str, with_positions: bool):
     import pyarrow as pa
 
     def _index_one_seg(seg: int, doc_ids: np.ndarray, texts: list) -> "pa.RecordBatch | None":
+        # Vectorized posting aggregation: flatten every token of the segment
+        # into parallel arrays, factorize terms once, and lexsort into
+        # (term, doc, pos) order — per-token work is two array stores, not a
+        # dict insert (the earlier per-doc dict aggregation cost more than
+        # tokenization itself).
         order0 = np.argsort(doc_ids, kind="stable")
-        term_list: list[str] = []
-        doc_list: list[int] = []
-        tf_list: list[int] = []
-        dl_list: list[int] = []
-        pos_list: list[list[int]] = []
-        for i in order0:
-            doc_id = int(doc_ids[i])
-            toks = analyze_text(texts[i], analyzer)
-            dl = len(toks)
-            agg: dict[str, list[int]] = {}
-            for term, pos in toks:
-                agg.setdefault(term, []).append(pos)
-            for term, ps in agg.items():
-                term_list.append(term)
-                doc_list.append(doc_id)
-                tf_list.append(len(ps))
-                dl_list.append(dl)
-                if with_positions:
-                    pos_list.append(ps)
-        if not term_list:
+        docs_sorted = doc_ids[order0].astype(np.int64)
+        toks_per_doc = [analyze_text(texts[i], analyzer) for i in order0]
+        dl_per_doc = np.fromiter(
+            (len(t) for t in toks_per_doc), dtype=np.int64, count=len(toks_per_doc)
+        )
+        total = int(dl_per_doc.sum())
+        if total == 0:
             return None
-        terms = np.asarray(term_list, dtype=object)
-        codes, _ = pd.factorize(terms, sort=True)
-        doc = np.asarray(doc_list, dtype=np.int64)
-        order = np.lexsort((doc, codes))
-        tf = np.asarray(tf_list, dtype=np.int64)[order]
-        dl = np.asarray(dl_list, dtype=np.int64)[order]
-        pos = [pos_list[i] for i in order] if with_positions else None
-        return _encode_sorted_arrow(seg, terms[order], doc[order], tf, dl, pos, with_positions)
+        terms_flat = np.empty(total, dtype=object)
+        pos_flat = np.empty(total, dtype=np.int64)
+        o = 0
+        for toks in toks_per_doc:
+            for term, p in toks:
+                terms_flat[o] = term
+                pos_flat[o] = p
+                o += 1
+        doc_rep = np.repeat(docs_sorted, dl_per_doc)
+        dl_rep = np.repeat(dl_per_doc, dl_per_doc)
+        codes, uniq_terms = pd.factorize(terms_flat, sort=True)
+        order = np.lexsort((pos_flat, doc_rep, codes))
+        codes_s = codes[order]
+        doc_s = doc_rep[order]
+        pos_s = pos_flat[order]
+        # posting rows = (term, doc) groups; positions stay flat in row order
+        change = np.empty(total, dtype=bool)
+        change[0] = True
+        change[1:] = (codes_s[1:] != codes_s[:-1]) | (doc_s[1:] != doc_s[:-1])
+        starts = np.flatnonzero(change)
+        tf = np.diff(np.append(starts, total))
+        row_terms = np.asarray(uniq_terms, dtype=object)[codes_s[starts]]
+        row_doc = doc_s[starts]
+        row_dl = dl_rep[order][starts]
+        return _encode_sorted_arrow(
+            seg, row_terms, row_doc, tf, row_dl,
+            pos_s if with_positions else None, with_positions,
+        )
 
     def index_partition(batches):
-        tbl = pa.Table.from_batches(list(batches))
+        batches = list(batches)
+        if not batches:  # empty scan partition (more tasks than files)
+            return
+        tbl = pa.Table.from_batches(batches)
         if tbl.num_rows == 0:
             return
         segs = tbl.column("seg").to_numpy()
@@ -198,7 +213,7 @@ def _encode_sorted_arrow(
     doc: np.ndarray,
     tf: np.ndarray,
     dl: np.ndarray,
-    pos_lists: list | None,
+    pos_flat: np.ndarray | None,
     with_positions: bool,
 ):
     """Vectorized block encoder over (term, doc_id)-sorted posting arrays:
@@ -233,7 +248,7 @@ def _encode_sorted_arrow(
     dls_off = np.concatenate(([0], np.cumsum(dls_len)))
 
     if with_positions:
-        flat = np.concatenate([np.asarray(p, dtype=np.int64) for p in pos_lists])
+        flat = np.ascontiguousarray(pos_flat, dtype=np.int64)  # row-ordered
         val_off = np.concatenate(([0], np.cumsum(tf)))  # value range per row
         pdeltas = flat.copy()
         if flat.size:
