@@ -107,6 +107,13 @@ class SearchEngine:
                     .toPandas()
                     .set_index("doc_id", drop=False)
                 )
+            if cache_dictionary:
+                # serving warm-up: one 1-row scan primes the postings reader
+                # (file listing, schema, parquet footers) so the first real
+                # query doesn't pay cold-start planning cost
+                reader = self.spark.read.parquet(p.postings)
+                self._postings_reader[a] = reader
+                reader.select("term").limit(1).collect()
 
     def refresh(self) -> None:
         """Reload stats + dictionary cache after incremental merges."""
