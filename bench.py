@@ -130,12 +130,66 @@ def run_scaling(workdir: str) -> dict:
     return results
 
 
+def run_scaling_submit(workdir: str) -> dict:
+    """The north-rule deployment shape, literally: `spark-submit --py-files
+    <zip> scripts/build_index_job.py` at N and 4N cores on the same input;
+    throughput + efficiency parsed from the job's own metrics line."""
+    import subprocess
+
+    from intuition_spark.corpus import transcripts_path
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(workdir, "intuition_spark.zip")
+    if os.path.exists(zip_path):
+        os.remove(zip_path)
+    subprocess.run(
+        ["zip", "-qr", zip_path, "intuition_spark"], cwd=repo, check=True
+    )
+    src = transcripts_path(SCALING_TURNS)
+    n_lo, n_hi = SCALING_CORES
+    results = {"turns": SCALING_TURNS, "cores": [n_lo, n_hi], "via": "spark-submit --py-files"}
+    for cores in (n_lo, n_hi):
+        out_dir = os.path.join(workdir, f"ix_submit_{cores}")
+        shutil.rmtree(out_dir, ignore_errors=True)
+        env = dict(os.environ)
+        env["SPARK_GRAFT_MASTER"] = f"local[{cores}]"
+        env["SPARK_GRAFT_SHUFFLE_PARTITIONS"] = str(cores * 2)
+        proc = subprocess.run(
+            [
+                "spark-submit", "--master", f"local[{cores}]",
+                # builder-time spark.driver.memory is ignored under an explicit
+                # spark-submit (JVM already launched) — pass it on the CLI
+                "--driver-memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+                "--py-files", zip_path,
+                os.path.join(repo, "scripts", "build_index_job.py"),
+                "--input", src, "--output", out_dir,
+                "--segments", "128", "--segs-per-job", "128",
+            ],
+            capture_output=True, text=True, env=env, check=True,
+        )
+        line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+        m = json.loads(line)
+        results[f"thr_{cores}"] = m["turns_per_sec"]
+        results[f"wall_{cores}"] = m["total_s"]
+        results[f"stages_{cores}"] = {
+            k: m[k] for k in ("docs_stage_s", "postings_stage_s", "dictionary_stage_s")
+        }
+    ratio = n_hi / n_lo
+    results["efficiency_N_to_4N"] = round(
+        results[f"thr_{n_hi}"] / results[f"thr_{n_lo}"] / ratio, 3
+    )
+    return results
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     workdir = "/tmp/intuition_spark_bench"
     os.makedirs(workdir, exist_ok=True)
 
+    if "--scaling-submit" in sys.argv:
+        print(json.dumps({"scaling": run_scaling_submit(workdir)}))
+        return
     if "--scaling" in sys.argv:
         print(json.dumps({"scaling": run_scaling(workdir)}))
         return

@@ -317,9 +317,14 @@ def prepare_docs(
         "doc_id",
         (F.col("seg").cast("long") * F.lit(1 << SEG_SHIFT) + F.row_number().over(w) - 1),
     ).withColumn("doc", F.concat_ws(":", "conv_id", "turn_idx"))
-    df.write.mode("overwrite").partitionBy("seg").parquet(paths.docs)
+    # observe(): row count rides along the write job — no second scan job
+    from pyspark.sql import Observation
 
-    n_docs = spark.read.parquet(paths.docs).count()
+    obs = Observation("prepare_docs")
+    df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("overwrite").partitionBy(
+        "seg"
+    ).parquet(paths.docs)
+    n_docs = int(obs.get["n"])
     stats = {
         "N": int(n_docs),
         "avgdl": None,  # filled by build_dictionary (Σcf / N), not needed to encode
