@@ -64,27 +64,52 @@ def _stem(tok: str) -> str:
     return s
 
 
-def analyze_text(text: str | None, analyzer: str = "standard") -> list[tuple[str, int]]:
-    """Analyze one string → list of (term, position).
+def analyze_flat(text: str | None, analyzer: str = "standard") -> tuple[list[str], list[int]]:
+    """Analyze one string → (terms, positions) as two parallel lists — the
+    allocation-light core (no per-token tuples; the index builder fills numpy
+    arrays from these by slice assignment).
 
     Positions are indices in the *pre-filter* token stream: a removed stopword
     still consumes a position (Lucene StopFilter semantics), so phrase slop
     across a stopword behaves identically to the reference.
     """
     if not text:
-        return []
+        return [], []
     a = ANALYZERS[analyzer]
     low = text.lower()
     if a.whitespace_only:
         toks = [t for t in _WS_RE.split(low) if t]
     else:
         toks = _TOKEN_RE.findall(_SUPERSCRIPT_RE.sub(" ", low))
-    out: list[tuple[str, int]] = []
-    for pos, tok in enumerate(toks):
-        if a.stop and tok in ENGLISH_STOPWORDS:
-            continue
-        out.append((_stem(tok) if a.stem else tok, pos))
-    return out
+    terms: list[str] = []
+    poss: list[int] = []
+    ap_t, ap_p = terms.append, poss.append
+    if a.stop or a.stem:
+        sw = ENGLISH_STOPWORDS if a.stop else ()
+        cache = _STEM_CACHE
+        stem = a.stem
+        for pos, tok in enumerate(toks):
+            if tok in sw:
+                continue
+            if stem:
+                s = cache.get(tok)
+                if s is None:
+                    s = _stem(tok)
+                ap_t(s)
+            else:
+                ap_t(tok)
+            ap_p(pos)
+    else:
+        terms = toks
+        poss = list(range(len(toks)))
+    return terms, poss
+
+
+def analyze_text(text: str | None, analyzer: str = "standard") -> list[tuple[str, int]]:
+    """Analyze one string → list of (term, position) tuples (query-side shape;
+    see :func:`analyze_flat` for semantics and the builder's flat variant)."""
+    terms, poss = analyze_flat(text, analyzer)
+    return list(zip(terms, poss, strict=True))
 
 
 def analyze_series(texts: pd.Series, analyzer: str = "standard") -> pd.Series:

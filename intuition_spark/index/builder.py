@@ -47,7 +47,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from intuition_spark.analysis.analyzers import analyze_text
+from intuition_spark.analysis.analyzers import analyze_flat, analyze_text
 from intuition_spark.index import codec
 
 SEG_SHIFT = 40  # doc_id = (seg << 40) | row_in_segment
@@ -139,9 +139,9 @@ def _make_segment_indexer(analyzer: str, with_positions: bool):
         # tokenization itself).
         order0 = np.argsort(doc_ids, kind="stable")
         docs_sorted = doc_ids[order0].astype(np.int64)
-        toks_per_doc = [analyze_text(texts[i], analyzer) for i in order0]
+        toks_per_doc = [analyze_flat(texts[i], analyzer) for i in order0]
         dl_per_doc = np.fromiter(
-            (len(t) for t in toks_per_doc), dtype=np.int64, count=len(toks_per_doc)
+            (len(t[0]) for t in toks_per_doc), dtype=np.int64, count=len(toks_per_doc)
         )
         total = int(dl_per_doc.sum())
         if total == 0:
@@ -149,11 +149,11 @@ def _make_segment_indexer(analyzer: str, with_positions: bool):
         terms_flat = np.empty(total, dtype=object)
         pos_flat = np.empty(total, dtype=np.int64)
         o = 0
-        for toks in toks_per_doc:
-            for term, p in toks:
-                terms_flat[o] = term
-                pos_flat[o] = p
-                o += 1
+        for terms, poss in toks_per_doc:
+            n_t = len(terms)
+            terms_flat[o : o + n_t] = terms  # slice assignment: C-speed fill
+            pos_flat[o : o + n_t] = poss
+            o += n_t
         doc_rep = np.repeat(docs_sorted, dl_per_doc)
         dl_rep = np.repeat(dl_per_doc, dl_per_doc)
         codes, uniq_terms = pd.factorize(terms_flat, sort=True)
