@@ -62,14 +62,19 @@ def _decode_image_stub(payload: bytes, width: int, height: int) -> np.ndarray:
 
 
 def extract_features(media: DataFrame, feat_dim: int = 16) -> DataFrame:
-    """Decode → pooled feature vector, one Arrow batch at a time."""
+    """Decode → pooled feature vector, one Arrow batch at a time.
+
+    Pooling is column-SUM / 256 (not mean): every pooled value is a dyadic
+    rational exactly representable in float32 (colsum < 2^12, divided by a
+    power of two), so downstream sums/rounds are bit-deterministic and the
+    DuckDB gate oracle can reproduce them with integer arithmetic."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats, nbytes = [], []
             for row in pdf.itertuples(index=False):
                 img = _decode_image_stub(row.payload or b"", row.width or 4, row.height or 4)
-                pooled = np.resize(img.astype(np.float32).mean(axis=0), feat_dim) / 255.0
+                pooled = np.resize(img.astype(np.float64).sum(axis=0), feat_dim) / 256.0
                 feats.append([float(x) for x in pooled])
                 nbytes.append(len(row.payload or b""))
             yield pd.DataFrame(
@@ -138,6 +143,32 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             )
 
     return media.mapInPandas(run, frame_schema)
+
+
+def media_from_documents(docs: DataFrame, n: int = 64) -> DataFrame:
+    """Deterministic media table derived from the gate's `documents` table:
+    payload = UTF-8 bytes of `text` (pure-ASCII in the gate corpus), metadata
+    from doc_id arithmetic. Because every byte is reproducible as
+    ``ascii(substr(text, k, 1))`` in SQL, the DuckDB oracle can replicate the
+    stub decode end-to-end — this is what upgrades the mm_* gate entries from
+    rows-only to full value-hash PASS."""
+    kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
+    mimes = F.array(F.lit("image/png"), F.lit("audio/wav"), F.lit("video/mp4"))
+    idx = (F.col("doc_id") % 3 + 1).cast("int")
+    return (
+        docs.filter((F.col("doc_id") < n) & (F.length("text") > 0))
+        .select(
+            F.concat(F.lit("m"), F.lpad(F.col("doc_id").cast("string"), 4, "0")).alias(
+                "media_id"
+            ),
+            F.element_at(kinds, idx).alias("kind"),
+            F.element_at(mimes, idx).alias("mime"),
+            (F.col("doc_id") % 8 + 4).cast("int").alias("width"),
+            (F.floor(F.col("doc_id") / 2) % 8 + 4).cast("int").alias("height"),
+            ((F.col("doc_id") % 7) * 1500).cast("int").alias("duration_ms"),
+            F.encode("text", "UTF-8").alias("payload"),
+        )
+    )
 
 
 def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:

@@ -137,3 +137,27 @@ def make_fingerprint_udf(window: int = 8):
         return texts.map(_fp)
 
     return fingerprint
+
+
+# -- F7: reverse complement (GeneMINDImpl.complement, MIND/GeneMINDImpl.java:85-95)
+#
+# The reference complements DNA (ACGT<->TGCA) then reverses. Transcript text
+# has a 26-letter alphabet, so the gate uses the Atbash involution (a<->z) as
+# the complement map — same translate(reverse(...)) machinery, still an
+# involution, so strand identities (matches of q on the RC strand == matches
+# of rc(q) on the forward strand) hold exactly.
+
+DNA_SRC = "ACGTacgt"
+DNA_DST = "TGCAtgca"
+ATBASH_SRC = "abcdefghijklmnopqrstuvwxyz"
+ATBASH_DST = ATBASH_SRC[::-1]
+
+
+def reverse_complement(col: Column, src: str = ATBASH_SRC, dst: str = ATBASH_DST) -> Column:
+    """Column form: reverse(translate(s)) — JVM-side, codegen'd."""
+    return F.reverse(F.translate(col, src, dst))
+
+
+def rc_str(s: str, src: str = ATBASH_SRC, dst: str = ATBASH_DST) -> str:
+    """Driver-side twin for literals (query strings)."""
+    return s.translate(str.maketrans(src, dst))[::-1]

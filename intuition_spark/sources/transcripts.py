@@ -63,11 +63,18 @@ def read_transcripts(
         reader = spark.read.format("iceberg")
         if snapshot_id is not None:
             reader = reader.option("snapshot-id", str(snapshot_id))
+        df = None
         try:
-            return validate_transcript_schema(reader.load(ref))
+            df = reader.load(ref)
         except Exception:  # noqa: BLE001 — not an iceberg table/path; fall through
             if snapshot_id is not None:
                 raise
+        if df is not None:
+            # validate OUTSIDE the try: a genuine Iceberg table with a wrong
+            # schema must fail fast here, not silently fall through to a raw
+            # parquet read of the table directory (which would resurrect rows
+            # from old snapshots).
+            return validate_transcript_schema(df)
     if snapshot_id is not None:
         raise ValueError("snapshot_id requires an Iceberg table (no parquet snapshot log)")
     return validate_transcript_schema(spark.read.parquet(ref))

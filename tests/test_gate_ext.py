@@ -24,10 +24,10 @@ EXT_ORACLE_ENTRIES = [
     "dedup_simhash",
     "dedup_embed_cosine",
     "sim_ann_lsh",
+    "sim_ivf_topk",
     "text_langid",
     "text_token_counts",
     "text_fingerprint",
-    "fts_q10_highlight",
     "fts_w3_islands",
     "fts_q16_cutoff",
     "fts_q17_prox_validate",
@@ -39,10 +39,13 @@ EXT_ORACLE_ENTRIES = [
     "fts_engine_get_by_id",
     "fts_engine_filtered",
     "fts_q18_kmer",
+    "fts_q18_kmer_rc",
     "rel_j2_rank_fold",
+    "mm_media_features",
+    "mm_frame_sample",
 ]
 
-EXT_ROWS_ONLY = ["mm_media_features", "mm_frame_sample"]
+EXT_ROWS_ONLY = ["fts_q19_clustering"]
 
 
 @pytest.fixture(scope="module")
