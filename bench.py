@@ -23,7 +23,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BENCH_TURNS = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "100000"))
+# 400k turns: at 100k the ~15s of fixed stage cost (session, scan planning,
+# parquet commit) dominates and the build number under-reads the engine by
+# ~3x (BENCH_r01 8.4k turns/s vs 24-27k measured at 1.6M+ turns); 400k puts
+# per-core compute in charge while keeping the whole bench under ~3 min
+BENCH_TURNS = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "400000"))
 
 
 def _quantile(xs: list[float], q: float) -> float:
@@ -47,10 +51,18 @@ def run_engine_bench(spark, workdir: str) -> dict:
     build_index(spark, df, ix_dir, analyzer="standard", n_segments=16)
     build_s = time.time() - t0
 
-    eng = SearchEngine(spark, {"standard": ix_dir, "ws": ix_dir})
+    # real dual-field story (SolrItem.java:32-33): a second ws-analyzed index
+    # serves wildcard/regex/fuzzy, exactly like the reference's text_ws field
+    ix_ws = os.path.join(workdir, "ix_ws")
+    shutil.rmtree(ix_ws, ignore_errors=True)
+    t0 = time.time()
+    build_index(spark, df, ix_ws, analyzer="ws", n_segments=16)
+    ws_build_s = time.time() - t0
+
+    eng = SearchEngine(spark, {"standard": ix_dir, "ws": ix_ws})
     lat: list[float] = []
     per_kind: dict[str, list[float]] = {}
-    queries = [q for q in reference_queries(k=10) if q.kind not in ("wildcard",)]
+    queries = list(reference_queries(k=10))
     for q in queries:
         t0 = time.time()
         rows = eng.search(q).collect()
@@ -67,6 +79,7 @@ def run_engine_bench(spark, workdir: str) -> dict:
     return {
         "build_turns_per_sec": round(n_turns / build_s, 1),
         "build_sec": round(build_s, 2),
+        "ws_build_sec": round(ws_build_s, 2),
         "n_turns": n_turns,
         "query_p50_sec": round(_quantile(lat, 0.50), 3),
         "query_p95_sec": round(_quantile(lat, 0.95), 3),
@@ -78,9 +91,11 @@ def run_engine_bench(spark, workdir: str) -> dict:
 
 def run_gate_bench(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as entrymod
+    from intuition_spark.driver_gate import EXTRA_QUERIES
 
     out = {}
-    for name, fn in entrymod.queries().items():
+    # gated entries + the demoted EXTRA twins — everything stays benched
+    for name, fn in {**entrymod.queries(), **EXTRA_QUERIES}.items():
         t0 = time.time()
         fn(spark, sf_dir).collect()
         out[name] = round(time.time() - t0, 3)

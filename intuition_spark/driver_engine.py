@@ -126,10 +126,15 @@ def fts_engine_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH {_BM25_CTES},
 a AS (SELECT doc_id, pos FROM toks WHERE term = 'hash'),
 b AS (SELECT doc_id, pos FROM toks WHERE term = 'merge'),
-ptf AS (SELECT a.doc_id, count(*) AS tf FROM a
-        WHERE EXISTS (SELECT 1 FROM b
-                      WHERE b.doc_id = a.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 6)
-        GROUP BY a.doc_id),
+-- Lucene sloppy-freq: each 'hash' occurrence that completes within the window
+-- contributes 1/(1+distance); for a two-term phrase the nearest following
+-- 'merge' at gap g has distance g-1, so the weight is 1/g
+ptf AS (
+  SELECT doc_id, sum(1.0 / (mb - pos)) AS tf FROM (
+    SELECT a.doc_id, a.pos, min(b.pos) AS mb
+    FROM a JOIN b ON b.doc_id = a.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 6
+    GROUP BY a.doc_id, a.pos)
+  GROUP BY doc_id),
 dfs AS (SELECT
     (SELECT count(DISTINCT doc_id) FROM a) AS df_a,
     (SELECT count(DISTINCT doc_id) FROM b) AS df_b)
@@ -142,9 +147,10 @@ FROM ptf p JOIN doc_stats s USING(doc_id) CROSS JOIN corpus c CROSS JOIN dfs d
 """,
 )
 def fts_engine_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sloppy phrase "hash merge"~5 through the engine's positional path; the
-    oracle mirrors the engine's match-count semantics (each occurrence of the
-    first term matches if the second follows within the window)."""
+    """Sloppy phrase "hash merge"~5 through the engine's positional path with
+    Lucene sloppy-freq weighting (each match weighs 1/(1+distance), matching
+    Solr 8's SloppyPhraseScorer for the reference's "~15" queries); the
+    oracle computes the same weighted tf from first principles."""
     eng = get_documents_engine(spark, sf_dir)
     q = Query("gate_prox", "proximity", [["hash merge"]], slop=5, k=1_000_000, analyzer="ws")
     hits = eng.search(q, mode="exhaustive")

@@ -18,7 +18,7 @@ import re
 from dataclasses import dataclass, field
 
 from intuition_spark.analysis.analyzers import analyze_text
-from intuition_spark.query.ast import Query, doc_key
+from intuition_spark.query.ast import SLOPPY_WEIGHTED, Query, doc_key
 
 K1 = 1.2
 B = 0.75
@@ -72,13 +72,19 @@ def _candidate_filter(ix: OracleIndex, q: Query, doc: str) -> bool:
     return True
 
 
-def _phrase_match_count(positions: list[list[int]], slop: int) -> int:
-    """Matches of an n-term phrase. slop=0: consecutive positions (respecting
-    the token-stream gaps). slop>0: a window where each subsequent term sits
-    within [prev+1, first+slop+i] — the simplified sloppy-phrase both sides
-    share (see query/ast.py)."""
+def _phrase_match_count(
+    positions: list[list[int]], slop: int, weighted: bool | None = None
+) -> float:
+    """Sloppy-freq of an n-term phrase. slop=0: consecutive positions
+    (respecting the token-stream gaps). slop>0: a window where each
+    subsequent term sits within [prev+1, first+slop+i]. Each match weighs
+    1/(1+distance) — Lucene SloppyPhraseScorer parity — unless
+    INTUITION_SLOPPY_FREQ=uniform (see query/ast.py); exact matches always
+    weigh 1."""
+    if weighted is None:
+        weighted = SLOPPY_WEIGHTED
     first = positions[0]
-    n = 0
+    tf = 0.0
     for p0 in first:
         ok = True
         prev = p0
@@ -95,8 +101,9 @@ def _phrase_match_count(positions: list[list[int]], slop: int) -> int:
                     break
                 prev = min(nxt)
         if ok:
-            n += 1
-    return n
+            dist = (prev - p0) - (len(positions) - 1)
+            tf += 1.0 / (1.0 + dist) if weighted else 1.0
+    return tf
 
 
 def _expand_multiterm(ix: OracleIndex, atom: str, kind: str, fuzzy_max: int = 1) -> list[str]:

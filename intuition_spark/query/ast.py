@@ -16,9 +16,13 @@ Semantics (shared verbatim by the pure-Python oracle and the Spark engine):
 * An atom that analyzes to multiple tokens is a phrase; ``slop`` > 0 makes it
   a sloppy (proximity) phrase — `"<mutation> <keyword>"~15` at
   `TextServiceImpl.java:531`. Phrase score follows Lucene PhraseQuery shape:
-  idf = Σ idf(term_i), tf = number of matches (we weight each sloppy match 1,
-  a documented simplification of Lucene's 1/(distance+1) sloppy-freq — both
-  sides of every rank-identity test share it).
+  idf = Σ idf(term_i) summed PER TOKEN POSITION (a repeated term counts
+  twice, like Lucene PhraseWeight); tf = Σ over matches of 1/(1+distance)
+  where distance is the matched window's spread beyond an exact phrase —
+  Lucene SloppyPhraseScorer's sloppyFreq. Exact matches weigh 1.
+  ``INTUITION_SLOPPY_FREQ=uniform`` restores the simplified
+  every-match-weighs-1 mode; engine and oracle both read the flag, so every
+  rank-identity test shares whichever mode is active.
 * ``wildcard`` / ``regex`` / ``fuzzy`` atoms expand against the dictionary of
   the ``ws``-analyzed field (the reference flips default field to ``text_ws``
   for wildcards, `SolrServiceImpl.java:434`) and score constant 1.0 per doc
@@ -35,10 +39,16 @@ key ascending with numeric turn index.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from datetime import datetime
 
 KINDS = ("term", "and", "or_groups", "phrase", "proximity", "wildcard", "regex", "fuzzy", "tf_sort")
+
+# Lucene SloppyPhraseScorer parity (1/(1+distance) sloppy-freq) is the
+# default; "uniform" restores the round-1 simplification. Shared by
+# query/engine.py and oracle/bm25_oracle.py so both sides always agree.
+SLOPPY_WEIGHTED = os.environ.get("INTUITION_SLOPPY_FREQ", "lucene") != "uniform"
 
 
 @dataclass

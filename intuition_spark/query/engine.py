@@ -42,6 +42,8 @@ from intuition_spark.query.ast import Query
 K1 = 1.2
 B = 0.75
 
+from intuition_spark.query.ast import SLOPPY_WEIGHTED  # noqa: E402 (shared semantics)
+
 
 def bm25_idf(N: int, df: int) -> float:
     return math.log(1.0 + (N - df + 0.5) / (df + 0.5))
@@ -74,6 +76,9 @@ class SearchEngine:
     DICT_CACHE_MAX_TERMS = 2_000_000
     # Σ df above which auto mode stays distributed (postings too big to pull)
     SMALL_QUERY_POSTINGS = int(os.environ.get("INTUITION_SMALL_QUERY_POSTINGS", "2000000"))
+    # Σ cf bound for the positional (phrase) driver route — pos_bin bytes
+    # scale with total occurrences, not document frequency
+    SMALL_QUERY_POSITIONS = int(os.environ.get("INTUITION_SMALL_QUERY_POSITIONS", "2000000"))
     # doc metadata (doc_id → docID/conv/turn/ts) cached driver-side below this
     # corpus size: hydration becomes a local merge, no per-query Spark job
     DOC_CACHE_MAX_DOCS = int(os.environ.get("INTUITION_DOC_CACHE_MAX_DOCS", "1000000"))
@@ -94,11 +99,15 @@ class SearchEngine:
             with open(p.stats) as f:
                 self.stats[a] = json.load(f)
             if cache_dictionary:
-                dic = self.spark.read.parquet(p.dictionary).select("term", "df")
+                dic = self.spark.read.parquet(p.dictionary).select("term", "df", "cf")
                 if dic.count() <= self.DICT_CACHE_MAX_TERMS:
                     pdf = dic.toPandas()
                     self._dict_cache[a] = dict(
-                        zip(pdf["term"], pdf["df"].astype(int), strict=True)
+                        zip(
+                            pdf["term"],
+                            zip(pdf["df"].astype(int), pdf["cf"].astype(int), strict=True),
+                            strict=True,
+                        )
                     )
             if cache_dictionary and self.stats[a]["N"] <= self.DOC_CACHE_MAX_DOCS:
                 self._doc_cache[a] = (
@@ -165,7 +174,7 @@ class SearchEngine:
     def _dfs_for_terms(self, a: str, terms: list[str]) -> dict[str, int]:
         cached = self._dict_cache.get(a)
         if cached is not None:
-            return {t: cached.get(t, 0) for t in terms}
+            return {t: cached.get(t, (0, 0))[0] for t in terms}
         rows = (
             self.spark.read.parquet(self.paths[a].dictionary)
             .filter(F.col("term").isin(terms))
@@ -250,7 +259,7 @@ class SearchEngine:
         has_phrase = any(len(at.terms) > 1 for at in atoms)
         if mode == "auto" and not has_filter:
             terms = sorted({t for at in atoms for t in at.terms})
-            if self._small_enough(a, terms):
+            if self._small_enough(a, terms, positional=has_phrase):
                 if has_phrase:
                     return self._driver_exhaustive(q, a, atoms)
                 return self._driver_wand(q, a, atoms)
@@ -264,11 +273,21 @@ class SearchEngine:
             [], "doc string, score double, conv_id string, turn_idx int"
         )
 
-    def _small_enough(self, a: str, terms: list[str]) -> bool:
+    def _small_enough(self, a: str, terms: list[str], positional: bool = False) -> bool:
+        """Driver fast-path admission. Postings volume is bounded by Σdf; the
+        positional route (_driver_exhaustive with phrases) additionally pulls
+        pos_bin whose size scales with Σtf = Σcf, so it gets its own (lower)
+        bound — a term just under the df threshold with huge per-doc tf can't
+        drag an unbounded position stream to the driver."""
         if a not in self._dict_cache:
             return False
         cache = self._dict_cache[a]
-        return sum(cache.get(t, 0) for t in terms) <= self.SMALL_QUERY_POSTINGS
+        stats = [cache.get(t, (0, 0)) for t in terms]
+        if sum(df for df, _ in stats) > self.SMALL_QUERY_POSTINGS:
+            return False
+        if positional:
+            return sum(cf for _, cf in stats) <= self.SMALL_QUERY_POSITIONS
+        return True
 
     def _collect_blocks(self, a: str, terms: list[str], with_positions: bool = False):
         cols = [
@@ -387,7 +406,9 @@ class SearchEngine:
 
         for at in phrases:
             dfs = self._dfs_for_terms(a, sorted(set(at.terms)))
-            idf_sum = sum(bm25_idf(N, dfs.get(t, 0)) for t in set(at.terms))
+            # per-token sum (NOT per distinct term): a repeated term counts
+            # once per position, like Lucene PhraseWeight and the oracle
+            idf_sum = sum(bm25_idf(N, dfs.get(t, 0)) for t in at.terms)
             # per-segment positional intersection (positions are complete per seg)
             for _, seg_pdf in pdf.groupby("seg", sort=False):
                 per_term: dict[str, dict[int, np.ndarray]] = {}
@@ -532,7 +553,8 @@ class SearchEngine:
 
         for at in phrases:
             dfs = self._dfs_for_terms(a, sorted(set(at.terms)))
-            idf_sum = sum(bm25_idf(N, dfs.get(t, 0)) for t in set(at.terms))
+            # per-token sum — repeated phrase terms count per position
+            idf_sum = sum(bm25_idf(N, dfs.get(t, 0)) for t in at.terms)
             parts.append(self._phrase_contrib(a, at, idf_sum, avgdl))
 
         contrib = parts[0]
@@ -665,10 +687,19 @@ class SearchEngine:
         return self._docs(a).filter(F.col("doc").isin(docs))
 
 
-def _phrase_tf(plists: list[np.ndarray], slop: int) -> int:
-    """Shared sloppy-phrase semantics — see oracle/bm25_oracle.py."""
+def _phrase_tf(plists: list[np.ndarray], slop: int, weighted: bool | None = None) -> float:
+    """Shared sloppy-phrase semantics — see oracle/bm25_oracle.py.
+
+    ``weighted`` (default: SLOPPY_WEIGHTED, i.e. Lucene parity) weights each
+    sloppy match by 1/(1+distance) where distance is the extra spread of the
+    matched window beyond an exact phrase — Lucene SloppyPhraseScorer's
+    sloppyFreq (matchLength). Exact matches (slop=0) always weigh 1, so
+    phrase scoring is unchanged. ``weighted=False`` restores the simplified
+    every-match-counts-1 mode (round-1 behavior)."""
+    if weighted is None:
+        weighted = SLOPPY_WEIGHTED
     first = plists[0]
-    n = 0
+    tf = 0.0
     for p0 in first.tolist():
         ok = True
         prev = p0
@@ -685,8 +716,9 @@ def _phrase_tf(plists: list[np.ndarray], slop: int) -> int:
                     break
                 prev = int(nxt.min())
         if ok:
-            n += 1
-    return n
+            dist = (prev - p0) - (len(plists) - 1)  # 0 for an exact match
+            tf += 1.0 / (1.0 + dist) if weighted else 1.0
+    return tf
 
 
 def rx_escape(c: str) -> str:

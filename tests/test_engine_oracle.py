@@ -114,3 +114,51 @@ def test_per_turn_text_invariant(spark, engine, corpus_tbl):
     assert (src["conv_id"] == stored["conv_id"]).all()
     assert (src["turn_idx"].astype(int) == stored["turn_idx"].astype(int)).all()
     assert (src["text"] == stored["text"]).all()
+
+
+def test_repeated_term_phrase_and_sloppy_weighting(spark, tmp_root):
+    """Regression (round-2): (1) a phrase with a repeated term ("data data")
+    must sum idf per token position — Lucene PhraseWeight — identically in
+    engine and oracle (round 1 diverged: engine summed distinct terms only);
+    (2) sloppy matches weigh 1/(1+distance) — "peak load"~3 at gap 2 must
+    score below an adjacent match, identically on both sides."""
+    import datetime
+
+    import pyarrow as pa
+
+    from intuition_spark.query.ast import Query
+
+    ts = datetime.datetime(2025, 1, 1)
+    texts = [
+        "data data pipeline runs on data",        # adjacent repeat → phrase hit
+        "data pipeline data data moves fast",     # repeat later in doc
+        "data moves then data arrives",           # no adjacent repeat
+        "peak load at noon",                      # prox gap 1 (adjacent)
+        "peak of the load curve",                 # prox gap 3 (dist 2 → w 1/3)
+        "nothing relevant here at all",
+    ]
+    rows = [
+        {"conv_id": f"c{i}", "turn_idx": 0, "role": "user", "text": t,
+         "tool": None, "ts": ts}
+        for i, t in enumerate(texts)
+    ]
+    tbl = pa.Table.from_pylist(rows)
+    src = os.path.join(tmp_root, "rep_corpus.parquet")
+    import pyarrow.parquet as pq
+
+    pq.write_table(tbl, src)
+    ix = build_index(spark, spark.read.parquet(src),
+                     os.path.join(tmp_root, "ix_rep"), analyzer="ws", n_segments=2)
+    eng = SearchEngine(spark, {"ws": ix.root})
+    oix = {"ws": build_oracle_index(rows, "ws")}
+
+    q_rep = Query("rep_phrase", "phrase", [["data data"]], k=10, analyzer="ws")
+    _run_and_compare(eng, oix, q_rep, "exhaustive")
+    _run_and_compare(eng, oix, q_rep, "auto")
+
+    q_prox = Query("rep_prox", "proximity", [["peak load"]], slop=3, k=10, analyzer="ws")
+    _run_and_compare(eng, oix, q_prox, "exhaustive")
+    _run_and_compare(eng, oix, q_prox, "auto")
+    # the weighting itself: adjacent match must outrank the gap-3 match
+    hits = {r["doc"]: r["score"] for r in eng.search(q_prox, mode="exhaustive").collect()}
+    assert hits["c3:0"] > hits["c4:0"]
