@@ -411,37 +411,15 @@ class SearchEngine:
             idf_sum = sum(bm25_idf(N, dfs.get(t, 0)) for t in at.terms)
             # per-segment positional intersection (positions are complete per seg)
             for _, seg_pdf in pdf.groupby("seg", sort=False):
-                per_term: dict[str, dict[int, np.ndarray]] = {}
-                dlmap: dict[int, float] = {}
-                for t in set(at.terms):
-                    rows_t = seg_pdf[seg_pdf["term"] == t]
-                    if rows_t.empty:
-                        per_term = {}
-                        break
-                    pm: dict[int, np.ndarray] = {}
-                    for row in rows_t.itertuples(index=False):
-                        n = int(row.n)
-                        docs = codec.delta_decode(row.docs_bin, n)
-                        tfs = codec.varint_decode(row.tfs_bin, n)
-                        dls = codec.varint_decode(row.dls_bin, n)
-                        plists = codec.decode_positions(row.pos_bin, tfs)
-                        for d, dl, pl in zip(docs.tolist(), dls.tolist(), plists):
-                            pm[int(d)] = pl
-                            dlmap[int(d)] = float(dl)
-                    per_term[t] = pm
-                if not per_term:
+                mf = _phrase_seg_match(seg_pdf, at.terms, at.slop)
+                if mf.empty:
                     continue
-                cand = set.intersection(*[set(pm) for pm in per_term.values()])
-                for d in cand:
-                    plists = [np.asarray(per_term[t][d]) for t in at.terms]
-                    tf = _phrase_tf(plists, at.slop)
-                    if tf > 0:
-                        w = idf_sum * tf * (K1 + 1.0) / (
-                            tf + K1 * (1.0 - B + B * dlmap[d] / avgdl)
-                        )
-                        doc_parts.append(np.array([d], dtype=np.int64))
-                        gid_parts.append(np.array([at.gid], dtype=np.int32))
-                        w_parts.append(np.array([w], dtype=np.float64))
+                tf = mf["tf"].to_numpy()
+                dl = mf["dl"].to_numpy()
+                w = idf_sum * tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+                doc_parts.append(mf["doc_id"].to_numpy())
+                gid_parts.append(np.full(len(mf), at.gid, dtype=np.int32))
+                w_parts.append(w)
 
         if not doc_parts:
             return self._empty_hits()
@@ -571,11 +549,17 @@ class SearchEngine:
     def _phrase_contrib(self, a: str, at: _Atom, idf_sum: float, avgdl: float) -> DataFrame:
         """Positional intersection (Q3/Q4): per-segment pandas evaluation —
         each segment holds all its docs' postings, so phrase matching needs no
-        cross-partition traffic."""
+        cross-partition traffic. Ships RAW blocks to the executors and runs
+        the same vectorized matcher as the driver path (_phrase_seg_match):
+        decode + numpy doc intersection per segment, per-doc work only on
+        the intersection."""
         terms = at.terms
         slop = at.slop
         gid = at.gid
-        rows = decode_blocks_df(self._blocks(a, sorted(set(terms))), with_positions=True)
+        blocks = self._blocks(a, sorted(set(terms))).select(
+            "seg", "term", "n", "first_doc",
+            "docs_bin", "tfs_bin", "dls_bin", "pos_bin",
+        )
 
         out_schema = T.StructType(
             [
@@ -586,34 +570,17 @@ class SearchEngine:
         )
 
         def match_seg(key, pdf: pd.DataFrame) -> pd.DataFrame:
-            by_term = {t: g for t, g in pdf.groupby("term", sort=False)}
-            if any(t not in by_term for t in set(terms)):
-                return pd.DataFrame({"doc_id": [], "gid": [], "contrib": []})
-            base = by_term[terms[0]]
-            cand = set(base["doc_id"].values)
-            for t in set(terms[1:]):
-                cand &= set(by_term[t]["doc_id"].values)
-            if not cand:
-                return pd.DataFrame({"doc_id": [], "gid": [], "contrib": []})
-            posmap = {
-                t: dict(zip(g["doc_id"].values, g["positions"].values)) for t, g in by_term.items()
-            }
-            dlmap = dict(zip(base["doc_id"].values, base["dl"].values))
-            out_docs, out_contrib = [], []
-            for d in cand:
-                plists = [np.asarray(posmap[t][d]) for t in terms]
-                tf = _phrase_tf(plists, slop)
-                if tf > 0:
-                    w = idf_sum * tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * float(dlmap[d]) / avgdl))
-                    out_docs.append(d)
-                    out_contrib.append(w)
+            mf = _phrase_seg_match(pdf, terms, slop)
+            tf = mf["tf"].to_numpy()
+            dl = mf["dl"].to_numpy()
+            w = idf_sum * tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
             return pd.DataFrame(
-                {"doc_id": pd.array(out_docs, dtype="int64"),
-                 "gid": pd.array([gid] * len(out_docs), dtype="int32"),
-                 "contrib": pd.array(out_contrib, dtype="float64")}
+                {"doc_id": mf["doc_id"],
+                 "gid": pd.array([gid] * len(mf), dtype="int32"),
+                 "contrib": pd.array(w, dtype="float64")}
             )
 
-        return rows.groupBy("seg").applyInPandas(match_seg, out_schema)
+        return blocks.groupBy("seg").applyInPandas(match_seg, out_schema)
 
     def _search_tf_sort(self, q: Query, a: str) -> DataFrame:
         """Q8: sort=termfreq(text,t) desc, date desc (`SolrClientTool.java:147-151`)."""
@@ -672,10 +639,13 @@ class SearchEngine:
         if tomb.size:
             docs = docs[~np.isin(docs, tomb)]
         # constant score → the k-boundary is decided purely by (conv, turn);
-        # doc_id order is (seg-major) not conv order, so only pre-trim when
-        # everything fits anyway
+        # doc_id order is (seg-major) not conv order, so the whole candidate
+        # set needs the conv/turn sort. With the driver doc cache present
+        # that's one pandas merge+sort (sub-100ms even at 10^5 candidates);
+        # without it, shipping a big candidate frame back into a distributed
+        # join would be slower than the distributed path — fall back.
         cand = pd.DataFrame({"doc_id": docs, "score": np.full(docs.size, 1.0)})
-        if len(cand) > q.k:
+        if len(cand) > q.k and a not in self._doc_cache:
             return self._finalize(
                 self.spark.createDataFrame(cand, schema="doc_id long, score double"), q, a
             )
@@ -685,6 +655,75 @@ class SearchEngine:
         """Q12 `client.getById` (`SolrClientTool.java:328-337`)."""
         a = a or next(iter(self.paths))
         return self._docs(a).filter(F.col("doc").isin(docs))
+
+
+def _phrase_seg_match(seg_pdf: pd.DataFrame, terms: list[str], slop: int) -> pd.DataFrame:
+    """Vectorized per-segment phrase matching over RAW posting blocks.
+
+    Decodes each phrase term's blocks into flat arrays (docs, tfs, dls and a
+    flat position stream), recovers per-doc absolute positions with one
+    global cumsum (delta positions restart per doc: subtracting the running
+    sum at each doc start re-bases every doc in a single vectorized op),
+    intersects the doc arrays with numpy FIRST, and only then runs the
+    per-doc sloppy-window matcher on the (usually small) intersection.
+    Replaces the per-doc dict building that made phrase latency scale with
+    posting-list length instead of match count.
+
+    Returns a DataFrame (doc_id, tf, dl) for docs where the phrase matches.
+    """
+    empty = pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                          "tf": pd.array([], dtype="float64"),
+                          "dl": pd.array([], dtype="float64")})
+    uniq = list(dict.fromkeys(terms))
+    data: dict[str, tuple] = {}
+    for t in uniq:
+        rows_t = seg_pdf[seg_pdf["term"] == t]
+        if rows_t.empty:
+            return empty
+        # blocks of one (seg, term) hold consecutive doc ranges; first_doc
+        # ordering makes the concatenated doc array globally sorted
+        rows_t = rows_t.sort_values("first_doc")
+        docs_l, tfs_l, dls_l, flats = [], [], [], []
+        for row in rows_t.itertuples(index=False):
+            n = int(row.n)
+            docs_l.append(codec.delta_decode(row.docs_bin, n))
+            tfs_l.append(codec.varint_decode(row.tfs_bin, n))
+            dls_l.append(codec.varint_decode(row.dls_bin, n))
+            flats.append(codec.varint_decode(row.pos_bin).astype(np.int64))
+        docs = np.concatenate(docs_l).astype(np.int64)
+        tfs = np.concatenate(tfs_l).astype(np.int64)
+        dls = np.concatenate(dls_l).astype(np.float64)
+        flat = np.concatenate(flats)
+        if flat.size != int(tfs.sum()):
+            raise ValueError("position stream length mismatch")
+        g = np.cumsum(flat)
+        starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+        base = np.where(starts > 0, g[np.maximum(starts - 1, 0)], 0)
+        posflat = g - np.repeat(base, tfs)
+        data[t] = (docs, tfs, dls, starts, posflat)
+    cand = data[uniq[0]][0]
+    for t in uniq[1:]:
+        cand = cand[np.isin(cand, data[t][0], assume_unique=True)]
+    if cand.size == 0:
+        return empty
+    idx = {t: np.searchsorted(data[t][0], cand) for t in uniq}
+    dls0 = data[uniq[0]][2][idx[uniq[0]]]
+    out_docs, out_tf, out_dl = [], [], []
+    for j in range(cand.size):
+        plists = []
+        for t in terms:  # in phrase order, repeats included
+            _, tfs_t, _, starts_t, pos_t = data[t]
+            i = idx[t][j]
+            s = starts_t[i]
+            plists.append(pos_t[s : s + tfs_t[i]])
+        tf = _phrase_tf(plists, slop)
+        if tf > 0:
+            out_docs.append(int(cand[j]))
+            out_tf.append(tf)
+            out_dl.append(float(dls0[j]))
+    return pd.DataFrame({"doc_id": pd.array(out_docs, dtype="int64"),
+                         "tf": pd.array(out_tf, dtype="float64"),
+                         "dl": pd.array(out_dl, dtype="float64")})
 
 
 def _phrase_tf(plists: list[np.ndarray], slop: int, weighted: bool | None = None) -> float:
