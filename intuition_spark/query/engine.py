@@ -82,6 +82,11 @@ class SearchEngine:
     # doc metadata (doc_id → docID/conv/turn/ts) cached driver-side below this
     # corpus size: hydration becomes a local merge, no per-query Spark job
     DOC_CACHE_MAX_DOCS = int(os.environ.get("INTUITION_DOC_CACHE_MAX_DOCS", "1000000"))
+    # LRU postings-block cache (Solr's queryResult/filter-cache analogue):
+    # repeated query terms skip the postings scan job entirely. Bounded by
+    # total cached postings count; segments are immutable so entries only
+    # invalidate on refresh() after an incremental merge.
+    BLOCK_CACHE_MAX_POSTINGS = int(os.environ.get("INTUITION_BLOCK_CACHE_POSTINGS", "4000000"))
 
     def __init__(
         self, spark: SparkSession, index_dirs: dict[str, str] | str, cache_dictionary: bool = True
@@ -93,6 +98,10 @@ class SearchEngine:
         self.stats: dict[str, dict] = {}
         self._dict_cache: dict[str, dict[str, int]] = {}
         self._doc_cache: dict[str, pd.DataFrame] = {}
+        from collections import OrderedDict
+
+        self._block_cache: OrderedDict[tuple[str, str], pd.DataFrame] = OrderedDict()
+        self._block_cache_postings = 0
         self._postings_reader: dict[str, DataFrame] = {}
         self._docs_reader: dict[str, DataFrame] = {}
         for a, p in self.paths.items():
@@ -289,14 +298,51 @@ class SearchEngine:
             return sum(cf for _, cf in stats) <= self.SMALL_QUERY_POSITIONS
         return True
 
+    _BLOCK_COLS = [
+        "seg", "term", "n", "first_doc", "last_doc", "max_tf", "min_dl",
+        "docs_bin", "tfs_bin", "dls_bin",
+    ]
+
+    def _cache_put(self, a: str, term: str, pdf: pd.DataFrame) -> None:
+        key = (a, term)
+        old = self._block_cache.pop(key, None)
+        if old is not None:
+            self._block_cache_postings -= int(old["n"].sum()) if len(old) else 0
+        self._block_cache[key] = pdf
+        self._block_cache_postings += int(pdf["n"].sum()) if len(pdf) else 0
+        while (
+            self._block_cache_postings > self.BLOCK_CACHE_MAX_POSTINGS
+            and len(self._block_cache) > 1
+        ):
+            _, evicted = self._block_cache.popitem(last=False)
+            self._block_cache_postings -= int(evicted["n"].sum()) if len(evicted) else 0
+
     def _collect_blocks(self, a: str, terms: list[str], with_positions: bool = False):
-        cols = [
-            "seg", "term", "n", "first_doc", "last_doc", "max_tf", "min_dl",
-            "docs_bin", "tfs_bin", "dls_bin",
-        ]
-        if with_positions:
-            cols.append("pos_bin")
-        return self._blocks(a, terms).select(*cols).toPandas()
+        """Pushdown-filtered block fetch with a driver-side LRU term cache.
+        A cache entry without pos_bin is upgraded (refetched with positions)
+        when a positional query needs the same term."""
+        missing = []
+        for t in terms:
+            hit = self._block_cache.get((a, t))
+            if hit is None or (with_positions and "pos_bin" not in hit.columns):
+                missing.append(t)
+            else:
+                self._block_cache.move_to_end((a, t))
+        if missing:
+            cols = self._BLOCK_COLS + (["pos_bin"] if with_positions else [])
+            fetched = self._blocks(a, missing).select(*cols).toPandas()
+            for t, g in fetched.groupby("term", sort=False):
+                self._cache_put(a, str(t), g.reset_index(drop=True))
+            for t in missing:  # cache absent terms too: re-scans cost a job
+                if (a, t) not in self._block_cache:
+                    self._cache_put(a, t, fetched.iloc[0:0])
+        parts = [self._block_cache[(a, t)] for t in terms if (a, t) in self._block_cache]
+        out = pd.concat(parts, ignore_index=True) if parts else pd.DataFrame(
+            columns=self._BLOCK_COLS
+        )
+        if not with_positions and "pos_bin" in out.columns:
+            out = out.drop(columns=["pos_bin"])
+        return out
 
     def _driver_hydrate(self, cand: pd.DataFrame, q: Query, order=("score",)) -> DataFrame:
         """Fetch doc metadata for the (small) candidate set and produce the

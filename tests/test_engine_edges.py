@@ -71,3 +71,42 @@ def test_fuzzy_no_match(engine):
 def test_phrase_unknown_pair(engine):
     q = Query("e8", "phrase", [["zzzz yyyy"]], k=10)
     assert engine.search(q, "auto").count() == 0
+
+
+def test_block_cache_hit_and_positional_upgrade(engine):
+    """Serving block cache: a repeated term is served from the LRU (no new
+    postings fetched), a later phrase query upgrades the entry with pos_bin,
+    and results stay identical either way."""
+    engine._block_cache.clear()
+    engine._block_cache_postings = 0
+    q = Query("c1", "term", [["braf"]], k=10)
+    r1 = engine.search(q, mode="auto").collect()
+    a = engine._route(q)
+    key = (a, "braf")
+    assert key in engine._block_cache
+    assert "pos_bin" not in engine._block_cache[key].columns
+    cached_obj = engine._block_cache[key]
+    r2 = engine.search(q, mode="auto").collect()
+    assert engine._block_cache[key] is cached_obj  # served from cache
+    assert [(r["doc"], r["score"]) for r in r1] == [(r["doc"], r["score"]) for r in r2]
+    # positional query on the same term upgrades the entry
+    qp = Query("c2", "phrase", [["braf v600e"]], k=10)
+    engine.search(qp, mode="auto").collect()
+    ap = engine._route(qp)
+    assert "pos_bin" in engine._block_cache[(ap, "braf")].columns
+
+
+def test_block_cache_eviction_accounting(engine):
+    engine._block_cache.clear()
+    engine._block_cache_postings = 0
+    old_cap = type(engine).BLOCK_CACHE_MAX_POSTINGS
+    try:
+        type(engine).BLOCK_CACHE_MAX_POSTINGS = 1  # force eviction
+        engine.search(Query("c3", "term", [["braf"]], k=5), mode="auto").collect()
+        engine.search(Query("c4", "term", [["kras"]], k=5), mode="auto").collect()
+        # at most one real entry survives at cap=1 (plus nothing leaked)
+        total = sum(int(v["n"].sum()) if len(v) else 0 for v in engine._block_cache.values())
+        assert total == engine._block_cache_postings
+        assert len(engine._block_cache) <= 2
+    finally:
+        type(engine).BLOCK_CACHE_MAX_POSTINGS = old_cap
