@@ -697,6 +697,18 @@ class SearchEngine:
             )
         return self._driver_hydrate(cand, q)
 
+    def search_str(self, s: str, k: int = 10, analyzer: str = "standard",
+                   mode: str = "auto", query_id: str = "q", **kw) -> DataFrame:
+        """Reference-style string query (`SolrClientTool.find`,
+        util/SolrClientTool.java:162-214): parse the edismax-subset string
+        (query/parse.py) and execute — a user of the reference keeps their
+        query strings."""
+        from intuition_spark.query.parse import parse_query
+
+        return self.search(
+            parse_query(s, query_id=query_id, k=k, analyzer=analyzer, **kw), mode=mode
+        )
+
     def get_by_id(self, docs: list[str], a: str | None = None) -> DataFrame:
         """Q12 `client.getById` (`SolrClientTool.java:328-337`)."""
         a = a or next(iter(self.paths))

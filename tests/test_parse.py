@@ -1,0 +1,84 @@
+"""Query-string parser: reference-style edismax strings → AST, and
+end-to-end identity with hand-built Query objects through the engine."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from intuition_spark.corpus import generate_transcripts
+from intuition_spark.index.builder import build_index
+from intuition_spark.query.ast import Query
+from intuition_spark.query.engine import SearchEngine
+from intuition_spark.query.parse import QueryParseError, parse_query
+
+
+def test_parse_or_groups_reference_shape():
+    # buildSearchExpression output shape (SolrServiceImpl.java:336-413)
+    q = parse_query('+("braf" OR "b-raf") +("v600e" OR "val600glu")')
+    assert q.kind == "or_groups"
+    assert q.groups == [["braf", "b-raf"], ["v600e", "val600glu"]]
+
+
+def test_parse_and_of_terms():
+    q = parse_query("spark join")
+    assert q.kind == "and"
+    assert q.groups == [["spark"], ["join"]]
+
+
+def test_parse_phrase_and_proximity():
+    assert parse_query('"table part"').kind == "phrase"
+    q = parse_query('"hash merge"~5')  # TextServiceImpl.java:531 "~15" shape
+    assert q.kind == "proximity"
+    assert q.slop == 5
+    assert q.groups == [["hash merge"]]
+
+
+def test_parse_multiterm_kinds():
+    assert parse_query("ta*").kind == "wildcard"
+    assert parse_query("t?ble").kind == "wildcard"
+    assert parse_query("tble~1").kind == "fuzzy"
+    assert parse_query("tble~").kind == "fuzzy"
+    assert parse_query("/ta.le|v.lue/").kind == "regex"
+
+
+def test_parse_quoted_single_token_is_term():
+    assert parse_query('"spark"').kind == "term"
+
+
+def test_parse_mixed_group_with_proximity():
+    q = parse_query('+("hash merge"~4) +batch')
+    assert q.kind == "proximity" and q.slop == 4
+    assert q.groups == [["hash merge"], ["batch"]]
+
+
+@pytest.mark.parametrize("bad", ["", "+(a OR", "(a OR )", "ta* extra", "+()"])
+def test_parse_errors(bad):
+    with pytest.raises(QueryParseError):
+        parse_query(bad)
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_root):
+    import pyarrow.parquet as pq
+
+    src = os.path.join(tmp_root, "parse_corpus.parquet")
+    pq.write_table(generate_transcripts(800, max_tokens=30), src)
+    ix = os.path.join(tmp_root, "parse_ix")
+    build_index(spark, spark.read.parquet(src), ix, analyzer="standard", n_segments=2)
+    return SearchEngine(spark, {"standard": ix, "ws": ix})
+
+
+def test_search_str_equals_ast(engine):
+    cases = [
+        ('+("braf" OR "kras") +v600e',
+         Query("x", "or_groups", [["braf", "kras"], ["v600e"]], k=10)),
+        ("braf v600e", Query("x", "and", [["braf"], ["v600e"]], k=10)),
+        ('"braf v600e"~4', Query("x", "proximity", [["braf v600e"]], slop=4, k=10)),
+        ("bra*", Query("x", "wildcard", [["bra*"]], k=10)),
+    ]
+    for s, q in cases:
+        got = [(r["doc"], r["score"]) for r in engine.search_str(s, k=10).collect()]
+        exp = [(r["doc"], r["score"]) for r in engine.search(q).collect()]
+        assert got == exp, s
