@@ -62,6 +62,10 @@ class Query:
     ts_after: datetime | None = None
     require_no_tool: bool = False
     analyzer: str = "standard"
+    # MUST_NOT clauses (Lucene BooleanClause.Occur.MUST_NOT; the reference's
+    # `-pmid_supporting:*` shape, SolrServiceImpl.java:88): docs containing
+    # ANY of these single-term atoms are excluded. Non-scoring.
+    exclude: list[str] | None = None
 
     def __post_init__(self) -> None:
         if self.kind not in KINDS:

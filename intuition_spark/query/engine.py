@@ -265,22 +265,59 @@ class SearchEngine:
         atoms = self._parse_atoms(q, a)
         if not atoms:
             return self._empty_hits()
+        ex_terms = self._exclude_terms(q, a)
         has_phrase = any(len(at.terms) > 1 for at in atoms)
         if mode == "auto" and not has_filter:
             terms = sorted({t for at in atoms for t in at.terms})
-            if self._small_enough(a, terms, positional=has_phrase):
+            if self._small_enough(a, terms + ex_terms, positional=has_phrase):
+                excluded = self._excluded_ids(a, ex_terms)
                 if has_phrase:
-                    return self._driver_exhaustive(q, a, atoms)
-                return self._driver_wand(q, a, atoms)
-        if mode == "wand" or (mode == "auto" and not has_phrase and not has_filter):
-            return self._search_wand(q, a, atoms, prune=True)
-        return self._search_exhaustive(q, a, atoms)
+                    return self._driver_exhaustive(q, a, atoms, excluded)
+                return self._driver_wand(q, a, atoms, excluded)
+        # WAND applies MUST_NOT inside the scorer (before per-segment top-k),
+        # which needs the excluded ids driver-side — only safe when the
+        # excluded postings are small; a head-term exclusion routes to the
+        # exhaustive path's distributed anti-join instead.
+        small_ex = not ex_terms or self._small_enough(a, ex_terms)
+        if (mode == "wand" and small_ex) or (
+            mode == "auto" and not has_phrase and not has_filter and small_ex
+        ):
+            return self._search_wand(
+                q, a, atoms, prune=True, excluded=self._excluded_ids(a, ex_terms)
+            )
+        return self._search_exhaustive(q, a, atoms, ex_terms)
 
     # ---- driver fast path (serving latency) ----------------------------
     def _empty_hits(self) -> DataFrame:
         return self.spark.createDataFrame(
             [], "doc string, score double, conv_id string, turn_idx int"
         )
+
+    def _exclude_terms(self, q: Query, a: str) -> list[str]:
+        """Analyzed MUST_NOT terms (single-token atoms only — Lucene prohibits
+        whole clauses, but the reference only negates field-exists/term
+        shapes, SolrServiceImpl.java:88)."""
+        out: list[str] = []
+        for xatom in q.exclude or []:
+            toks = [t for t, _ in analyze_text(xatom, a)]
+            if len(toks) > 1:
+                raise ValueError(f"exclude atoms must be single terms: {xatom!r}")
+            out.extend(toks)
+        return sorted(set(out))
+
+    def _excluded_ids(self, a: str, ex_terms: list[str]) -> np.ndarray:
+        """Tombstones ∪ doc ids of the excluded terms, as one sorted array for
+        the scorers (the same mechanism incremental deletes use)."""
+        tomb = self._tombstones(a)
+        if not ex_terms:
+            return tomb
+        pdf = self._collect_blocks(a, ex_terms)
+        if pdf.empty:
+            return tomb
+        ids = np.concatenate(
+            [codec.delta_decode(r.docs_bin, int(r.n)) for r in pdf.itertuples(index=False)]
+        ).astype(np.int64)
+        return np.unique(np.concatenate([tomb, ids]))
 
     def _small_enough(self, a: str, terms: list[str], positional: bool = False) -> bool:
         """Driver fast-path admission. Postings volume is bounded by Σdf; the
@@ -374,7 +411,9 @@ class SearchEngine:
             out, schema="doc string, score double, conv_id string, turn_idx int"
         )
 
-    def _driver_wand(self, q: Query, a: str, atoms: list[_Atom]) -> DataFrame:
+    def _driver_wand(
+        self, q: Query, a: str, atoms: list[_Atom], excluded: np.ndarray | None = None
+    ) -> DataFrame:
         """Small-query WAND on the driver: same scorer, same blocks, no
         shuffle. Latency = postings point-scan + docs point-scan."""
         meta, n_groups = self._term_meta(a, atoms)
@@ -382,8 +421,10 @@ class SearchEngine:
         pdf = self._collect_blocks(a, list(meta))
         if pdf.empty:
             return self._empty_hits()
+        if excluded is None:
+            excluded = self._tombstones(a)
         scorer = wand.make_segment_scorer(
-            meta, n_groups, q.k, avgdl, prune=True, excluded=self._tombstones(a)
+            meta, n_groups, q.k, avgdl, prune=True, excluded=excluded
         )
         outs = [scorer((seg,), g) for seg, g in pdf.groupby("seg", sort=False)]
         cand = pd.concat(outs, ignore_index=True) if outs else pd.DataFrame()
@@ -420,7 +461,9 @@ class SearchEngine:
         )
         return self._driver_hydrate(cand, q, order=("score", "ts"))
 
-    def _driver_exhaustive(self, q: Query, a: str, atoms: list[_Atom]) -> DataFrame:
+    def _driver_exhaustive(
+        self, q: Query, a: str, atoms: list[_Atom], excluded: np.ndarray | None = None
+    ) -> DataFrame:
         """Small-query exhaustive scoring (incl. phrase/proximity positional
         matching) on the driver — same block decode, same sloppy-phrase
         semantics, two point-scan jobs total."""
@@ -480,9 +523,10 @@ class SearchEngine:
             score=("contrib", "sum"), ng=("gid", "nunique")
         )
         agg = agg[agg["ng"] == n_groups]
-        tomb = self._tombstones(a)
-        if tomb.size:
-            agg = agg[~agg.index.isin(tomb)]
+        if excluded is None:
+            excluded = self._tombstones(a)
+        if excluded.size:
+            agg = agg[~agg.index.isin(excluded)]
         if agg.empty:
             return self._empty_hits()
         cand = agg.reset_index()[["doc_id", "score"]].sort_values(
@@ -532,15 +576,20 @@ class SearchEngine:
                     meta[t] = (at.gid, bm25_idf(N, dfs.get(t, 0)))
         return meta, len({at.gid for at in atoms})
 
-    def _search_wand(self, q: Query, a: str, atoms: list[_Atom], prune: bool) -> DataFrame:
+    def _search_wand(
+        self, q: Query, a: str, atoms: list[_Atom], prune: bool,
+        excluded: np.ndarray | None = None,
+    ) -> DataFrame:
         meta, n_groups = self._term_meta(a, atoms)
         avgdl = self.stats[a]["avgdl"]
         blocks = self._blocks(a, list(meta)).select(
             "seg", "term", "blk", "n", "first_doc", "last_doc", "max_tf", "min_dl",
             "docs_bin", "tfs_bin", "dls_bin",
         )
+        if excluded is None:
+            excluded = self._tombstones(a)
         scorer = wand.make_segment_scorer(
-            meta, n_groups, q.k, avgdl, prune=prune, excluded=self._tombstones(a)
+            meta, n_groups, q.k, avgdl, prune=prune, excluded=excluded
         )
         out_schema = T.StructType(
             [T.StructField("doc_id", T.LongType()), T.StructField("score", T.DoubleType())]
@@ -548,7 +597,9 @@ class SearchEngine:
         local_topk = blocks.groupBy("seg").applyInPandas(scorer, out_schema)
         return self._finalize(local_topk, q, a)
 
-    def _search_exhaustive(self, q: Query, a: str, atoms: list[_Atom]) -> DataFrame:
+    def _search_exhaustive(
+        self, q: Query, a: str, atoms: list[_Atom], ex_terms: list[str] | None = None
+    ) -> DataFrame:
         meta, n_groups = self._term_meta(a, atoms)
         avgdl = self.stats[a]["avgdl"]
         N = self.stats[a]["N"]
@@ -590,6 +641,11 @@ class SearchEngine:
             .filter(F.col("ng") == n_groups)  # mm=100%: every group matched
             .select("doc_id", "score")
         )
+        if ex_terms:
+            # MUST_NOT as a distributed anti-join on the excluded postings —
+            # scales to head-term exclusions (nothing collects to the driver)
+            ex_docs = decode_blocks_df(self._blocks(a, ex_terms)).select("doc_id").distinct()
+            scored = scored.join(ex_docs, "doc_id", "left_anti")
         return self._finalize(scored, q, a)
 
     def _phrase_contrib(self, a: str, at: _Atom, idf_sum: float, avgdl: float) -> DataFrame:

@@ -97,11 +97,20 @@ def parse_query(
     if not toks:
         raise QueryParseError("empty query")
     groups: list[list[tuple[str, str, int]]] = []
+    exclude: list[str] = []
     i = 0
     while i < len(toks):
         t = toks[i]
         if t in (")", "OR"):
             raise QueryParseError(f"unexpected {t!r}")
+        if t.startswith("-") and len(t) > 1:
+            # MUST_NOT clause (the reference's `-field:*` negation shape)
+            ak, payload, _ = _classify_atom(t[1:])
+            if ak != "term":
+                raise QueryParseError(f"only single terms can be negated: {t!r}")
+            exclude.append(payload)
+            i += 1
+            continue
         if t.endswith("("):
             group: list[tuple[str, str, int]] = []
             i += 1
@@ -127,9 +136,15 @@ def parse_query(
             groups.append([_classify_atom(t.lstrip("+"))])
             i += 1
 
+    if not groups:
+        raise QueryParseError("query has only negations — nothing to score")
+    if exclude:
+        kw = dict(kw, exclude=exclude)
     kinds = {ak for g in groups for ak, _, _ in g}
     multi = kinds & {"wildcard", "regex", "fuzzy"}
     if multi:
+        if exclude:
+            raise QueryParseError("negation is not supported on multi-term queries")
         if len(groups) != 1 or len(groups[0]) != 1:
             raise QueryParseError(
                 "wildcard/regex/fuzzy must be the whole query "

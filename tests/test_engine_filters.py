@@ -89,3 +89,47 @@ def test_get_by_id(setup):
     got = {r["doc"]: r["text"] for r in eng.get_by_id(want).collect()}
     assert got[want[0]] == rows[0]["text"]
     assert got[want[1]] == rows[5]["text"]
+
+
+def test_must_not_exclusion_all_modes(setup):
+    """MUST_NOT (`-term`): docs containing the excluded term disappear from
+    the top-k, identically on driver-WAND, distributed-WAND, and exhaustive
+    paths (the driver/WAND routes use the tombstone mechanism; exhaustive
+    uses a distributed anti-join)."""
+    eng, oracles, rows = setup
+    q = Query("f_not", "term", [["spark"]], k=10, exclude=["merge"])
+    for mode in ("auto", "wand", "exhaustive"):
+        _compare(eng, oracles, q, mode=mode)
+    # sanity: exclusion actually removed something vs the unfiltered query —
+    # pick a term guaranteed to co-occur with 'spark' in some doc
+    from intuition_spark.analysis.analyzers import analyze_text
+
+    doc_with = next(
+        r for r in rows
+        if any(t == "spark" for t, _ in analyze_text(r["text"], "standard"))
+    )
+    other = next(
+        t for t, _ in analyze_text(doc_with["text"], "standard") if t != "spark"
+    )
+    base = {r["doc"] for r in eng.search(
+        Query("f_base", "term", [["spark"]], k=100000)).collect()}
+    excl = {r["doc"] for r in eng.search(
+        Query("f_not2", "term", [["spark"]], k=100000, exclude=[other])).collect()}
+    assert excl < base
+
+
+def test_must_not_with_phrase_and_groups(setup):
+    eng, oracles, rows = setup
+    q = Query("f_not_ph", "phrase", [["braf v600e"]], k=10, exclude=["merge"])
+    _compare(eng, oracles, q, mode="auto")
+    _compare(eng, oracles, q, mode="exhaustive")
+    q2 = Query("f_not_or", "or_groups", [["braf", "kras"], ["v600e"]], k=10,
+               exclude=["window"])
+    _compare(eng, oracles, q2, mode="auto")
+    _compare(eng, oracles, q2, mode="exhaustive")
+
+
+def test_must_not_multi_token_atom_rejected(setup):
+    eng, _, _ = setup
+    with pytest.raises(ValueError):
+        eng.search(Query("f_bad", "term", [["spark"]], exclude=["two words"])).collect()

@@ -82,3 +82,13 @@ def test_search_str_equals_ast(engine):
         got = [(r["doc"], r["score"]) for r in engine.search_str(s, k=10).collect()]
         exp = [(r["doc"], r["score"]) for r in engine.search(q).collect()]
         assert got == exp, s
+
+
+def test_parse_negation():
+    q = parse_query('+("braf" OR "kras") +v600e -merge -window')
+    assert q.kind == "or_groups"
+    assert q.exclude == ["merge", "window"]
+    with pytest.raises(QueryParseError):
+        parse_query("-only -negations")
+    with pytest.raises(QueryParseError):
+        parse_query("ta* -merge")
