@@ -723,12 +723,18 @@ ORDER BY cosine DESC, vec_id LIMIT 10
 """,
 )
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from intuition_spark.functions.similarity import brute_force_topk
+    from intuition_spark.functions.similarity import cosine_scores
 
     emb = _read(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
-    out = brute_force_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10)
-    return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+    # score all, then cut on the ROUNDED cosine + vec_id tiebreak to match the
+    # oracle's k-boundary exactly (raw-cosine cuts are data-dependent at ties)
+    allc = cosine_scores(emb.filter(F.col("vec_id") != 0), qvec)
+    return (
+        allc.select("vec_id", F.round("cosine", 4).alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(10)
+    )
 
 
 # --------------------------------------------------------------------------

@@ -446,13 +446,20 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition pruning makes the scan cost n_probe/n_centroids of a full scan.
     Assignment argmax is scale-invariant (row normalization drops out), so
     the oracle replicates it with plain dot-product rank-1 selection."""
-    from intuition_spark.functions.similarity import assign_centroids, ivf_topk
+    from intuition_spark.functions.similarity import assign_centroids, ivf_candidates
 
     emb = _read(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
     assigned = assign_centroids(emb.filter(F.col("vec_id") != 0), IVF_CENTROIDS)
-    out = ivf_topk(assigned, IVF_CENTROIDS, qvec, k=10, nprobe=IVF_NPROBE)
-    return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+    # score ALL probed candidates, then cut on the ROUNDED cosine with the
+    # vec_id tiebreak — the oracle orders by the rounded value, so cutting on
+    # raw cosine first would make the k-boundary data-dependent
+    allc = ivf_candidates(assigned, IVF_CENTROIDS, qvec, nprobe=IVF_NPROBE)
+    return (
+        allc.select("vec_id", F.round("cosine", 4).alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(10)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -912,7 +919,7 @@ topk AS (SELECT doc_id, score FROM scored WHERE ng = 2
          ORDER BY score DESC, CAST(doc_id AS VARCHAR) LIMIT 5)
 SELECT t.doc_id || ':0' AS doc, round(t.score, 4) AS score,
        array_to_string(list_transform(string_split(d.text, ' '),
-         w -> CASE WHEN w IN ('table','value') THEN '<mark>' || w || '</mark>'
+         w -> CASE WHEN lower(w) IN ('table','value') THEN '<mark>' || w || '</mark>'
                    ELSE w END), ' ') AS highlighted
 FROM topk t JOIN documents d USING(doc_id)
 """,

@@ -33,15 +33,23 @@ def _norm_col(vec_col: str):
     return F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x))
 
 
+def cosine_scores(
+    emb: DataFrame, qvec: list[float], id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, cosine) for every row — no cut; callers apply their own top-k
+    (possibly on a rounded value for cross-engine-stable k-boundaries)."""
+    qn = float(np.linalg.norm(np.asarray(qvec, dtype=np.float64)))
+    return emb.select(
+        F.col(id_col),
+        (_dot_col(vec_col, qvec) / (_norm_col(vec_col) * F.lit(qn))).alias("cosine"),
+    )
+
+
 def brute_force_topk(
     emb: DataFrame, qvec: list[float], k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
     """Exact cosine top-k (score desc, id asc)."""
-    qn = float(np.linalg.norm(np.asarray(qvec, dtype=np.float64)))
-    scored = emb.select(
-        F.col(id_col),
-        (_dot_col(vec_col, qvec) / (_norm_col(vec_col) * F.lit(qn))).alias("cosine"),
-    )
+    scored = cosine_scores(emb, qvec, id_col=id_col, vec_col=vec_col)
     return scored.orderBy(F.desc("cosine"), id_col).limit(k)
 
 
@@ -85,6 +93,24 @@ def assign_centroids(
     return emb.withColumn(out_col, nearest(F.col(vec_col)))
 
 
+def ivf_candidates(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    qvec: list[float],
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_col: str = "centroid",
+) -> DataFrame:
+    """(id, cosine) over the `nprobe` buckets nearest the query — no cut.
+    `assigned` should be persisted partitioned-by-centroid for pruning."""
+    q = np.asarray(qvec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probe = np.argsort(-(centroids @ qn))[:nprobe].tolist()
+    cand = assigned.filter(F.col(centroid_col).isin([int(c) for c in probe]))
+    return cosine_scores(cand, qvec, id_col=id_col, vec_col=vec_col)
+
+
 def ivf_topk(
     assigned: DataFrame,
     centroids: np.ndarray,
@@ -95,10 +121,9 @@ def ivf_topk(
     vec_col: str = "embedding",
     centroid_col: str = "centroid",
 ) -> DataFrame:
-    """Approximate top-k: scan only the `nprobe` buckets nearest the query.
-    `assigned` should be persisted partitioned-by-centroid for pruning."""
-    q = np.asarray(qvec, dtype=np.float64)
-    qn = q / max(np.linalg.norm(q), 1e-12)
-    probe = np.argsort(-(centroids @ qn))[:nprobe].tolist()
-    cand = assigned.filter(F.col(centroid_col).isin([int(c) for c in probe]))
-    return brute_force_topk(cand, qvec, k=k, id_col=id_col, vec_col=vec_col)
+    """Approximate top-k: scan only the `nprobe` buckets nearest the query."""
+    scored = ivf_candidates(
+        assigned, centroids, qvec, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col, centroid_col=centroid_col,
+    )
+    return scored.orderBy(F.desc("cosine"), id_col).limit(k)

@@ -254,18 +254,20 @@ class SearchEngine:
     def search(self, q: Query, mode: str = "auto") -> DataFrame:
         a = self._route(q)
         has_filter = q.filter_docs is not None or q.ts_after is not None or q.require_no_tool
+        ex_terms = self._exclude_terms(q, a)
         if q.kind in ("wildcard", "regex", "fuzzy"):
-            return self._search_multiterm(q, a, driver_ok=(mode == "auto" and not has_filter))
+            return self._search_multiterm(
+                q, a, driver_ok=(mode == "auto" and not has_filter), ex_terms=ex_terms
+            )
         if q.kind == "tf_sort":
             if mode == "auto" and not has_filter:
                 term = analyze_text(q.groups[0][0], a)[0][0]
-                if self._small_enough(a, [term]):
-                    return self._driver_tf_sort(q, a, term)
-            return self._search_tf_sort(q, a)
+                if self._small_enough(a, [term] + ex_terms):
+                    return self._driver_tf_sort(q, a, term, self._excluded_ids(a, ex_terms))
+            return self._search_tf_sort(q, a, ex_terms)
         atoms = self._parse_atoms(q, a)
         if not atoms:
             return self._empty_hits()
-        ex_terms = self._exclude_terms(q, a)
         has_phrase = any(len(at.terms) > 1 for at in atoms)
         if mode == "auto" and not has_filter:
             terms = sorted({t for at in atoms for t in at.terms})
@@ -368,10 +370,15 @@ class SearchEngine:
         if missing:
             cols = self._BLOCK_COLS + (["pos_bin"] if with_positions else [])
             fetched = self._blocks(a, missing).select(*cols).toPandas()
+            seen = set()
             for t, g in fetched.groupby("term", sort=False):
                 self._cache_put(a, str(t), g.reset_index(drop=True))
+                seen.add(str(t))
             for t in missing:  # cache absent terms too: re-scans cost a job
-                if (a, t) not in self._block_cache:
+                if t not in seen:
+                    # unconditional put: an absent-term placeholder cached
+                    # without pos_bin must still upgrade to the positional
+                    # column set, or positional queries re-scan it forever
                     self._cache_put(a, t, fetched.iloc[0:0])
         parts = [self._block_cache[(a, t)] for t in terms if (a, t) in self._block_cache]
         out = pd.concat(parts, ignore_index=True) if parts else pd.DataFrame(
@@ -436,7 +443,9 @@ class SearchEngine:
             cand = cand[cand["score"] >= cutoff]
         return self._driver_hydrate(cand, q)
 
-    def _driver_tf_sort(self, q: Query, a: str, term: str) -> DataFrame:
+    def _driver_tf_sort(
+        self, q: Query, a: str, term: str, excluded: np.ndarray | None = None
+    ) -> DataFrame:
         pdf = self._collect_blocks(a, [term])
         if pdf.empty:
             return self._empty_hits()
@@ -446,9 +455,10 @@ class SearchEngine:
             tfs_l.append(codec.varint_decode(row.tfs_bin, int(row.n)))
         docs = np.concatenate(docs_l).astype(np.int64)
         tfs = np.concatenate(tfs_l).astype(np.int64)
-        tomb = self._tombstones(a)
-        if tomb.size:
-            keep = ~np.isin(docs, tomb)
+        if excluded is None:
+            excluded = self._tombstones(a)
+        if excluded.size:
+            keep = ~np.isin(docs, excluded)
             docs, tfs = docs[keep], tfs[keep]
         if docs.size == 0:
             return self._empty_hits()
@@ -684,7 +694,7 @@ class SearchEngine:
 
         return blocks.groupBy("seg").applyInPandas(match_seg, out_schema)
 
-    def _search_tf_sort(self, q: Query, a: str) -> DataFrame:
+    def _search_tf_sort(self, q: Query, a: str, ex_terms: list[str] | None = None) -> DataFrame:
         """Q8: sort=termfreq(text,t) desc, date desc (`SolrClientTool.java:147-151`)."""
         term = analyze_text(q.groups[0][0], a)[0][0]
         rows = decode_blocks_df(self._blocks(a, [term])).select(
@@ -694,6 +704,9 @@ class SearchEngine:
         if tomb.size:
             tdf = self.spark.createDataFrame([(int(t),) for t in tomb], ["doc_id"])
             rows = rows.join(F.broadcast(tdf), "doc_id", "left_anti")
+        if ex_terms:
+            ex_docs = decode_blocks_df(self._blocks(a, ex_terms)).select("doc_id").distinct()
+            rows = rows.join(ex_docs, "doc_id", "left_anti")
         docs = self._docs(a).select("doc_id", "doc", "conv_id", "turn_idx", "ts", "tool")
         if q.ts_after is not None:
             docs = docs.filter(F.col("ts") >= F.lit(q.ts_after))
@@ -709,24 +722,33 @@ class SearchEngine:
             .limit(q.k)
         )
 
-    def _search_multiterm(self, q: Query, a: str, driver_ok: bool = False) -> DataFrame:
+    def _search_multiterm(
+        self, q: Query, a: str, driver_ok: bool = False,
+        ex_terms: list[str] | None = None,
+    ) -> DataFrame:
         """Q5/Q6/Q7: dictionary expansion → constant-score union (Lucene
         CONSTANT_SCORE multi-term rewrite, the Solr 8 default)."""
+        ex_terms = ex_terms or []
         pattern = q.groups[0][0]
         terms = None
         if driver_ok:
             terms = self._expand_cached(a, pattern, q.kind)
-            if terms is not None and self._small_enough(a, terms):
-                return self._driver_multiterm(q, a, terms)
+            if terms is not None and self._small_enough(a, terms + ex_terms):
+                return self._driver_multiterm(q, a, terms, self._excluded_ids(a, ex_terms))
         if terms is None:
             terms = self.expand_dictionary(a, pattern, q.kind)
         if not terms:
             return self._empty_hits()
         rows = decode_blocks_df(self._blocks(a, terms))
         scored = rows.select("doc_id").distinct().withColumn("score", F.lit(1.0))
+        if ex_terms:
+            ex_docs = decode_blocks_df(self._blocks(a, ex_terms)).select("doc_id").distinct()
+            scored = scored.join(ex_docs, "doc_id", "left_anti")
         return self._finalize(scored, q, a)
 
-    def _driver_multiterm(self, q: Query, a: str, terms: list[str]) -> DataFrame:
+    def _driver_multiterm(
+        self, q: Query, a: str, terms: list[str], excluded: np.ndarray | None = None
+    ) -> DataFrame:
         if not terms:
             return self._empty_hits()
         pdf = self._collect_blocks(a, terms)
@@ -737,9 +759,10 @@ class SearchEngine:
                 [codec.delta_decode(r.docs_bin, int(r.n)) for r in pdf.itertuples(index=False)]
             ).astype(np.int64)
         )
-        tomb = self._tombstones(a)
-        if tomb.size:
-            docs = docs[~np.isin(docs, tomb)]
+        if excluded is None:
+            excluded = self._tombstones(a)
+        if excluded.size:
+            docs = docs[~np.isin(docs, excluded)]
         # constant score → the k-boundary is decided purely by (conv, turn);
         # doc_id order is (seg-major) not conv order, so the whole candidate
         # set needs the conv/turn sort. With the driver doc cache present

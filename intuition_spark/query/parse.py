@@ -143,14 +143,17 @@ def parse_query(
     kinds = {ak for g in groups for ak, _, _ in g}
     multi = kinds & {"wildcard", "regex", "fuzzy"}
     if multi:
-        if exclude:
-            raise QueryParseError("negation is not supported on multi-term queries")
         if len(groups) != 1 or len(groups[0]) != 1:
             raise QueryParseError(
                 "wildcard/regex/fuzzy must be the whole query "
                 "(CONSTANT_SCORE multi-term rewrite)"
             )
         ak, payload, extra = groups[0][0]
+        if ak == "fuzzy" and extra != 1:
+            # the engine's dictionary expansion is Levenshtein<=1 (the
+            # reference's fuzzy shape, GeneMINDImpl.java:74-83); reject rather
+            # than silently running a different edit distance
+            raise QueryParseError(f"only fuzzy distance 1 is supported, got ~{extra}")
         return Query(query_id, ak, [[payload]], k=k, analyzer=analyzer, **kw)
 
     slops = {slop for g in groups for ak, _, slop in g if ak == "proximity"}
@@ -165,6 +168,12 @@ def parse_query(
     if "proximity" in kinds:
         if len(slops) > 1:
             raise QueryParseError("mixed slops in one query are not supported")
+        if "phrase" in kinds:
+            # Query carries ONE slop applied to every multi-token atom, so an
+            # exact phrase would silently become sloppy — refuse instead
+            raise QueryParseError(
+                "mixing exact phrases and sloppy phrases in one query is not supported"
+            )
         slop = slops.pop()
         return Query(query_id, "proximity",
                      [[p for _, p, _ in g] for g in groups],

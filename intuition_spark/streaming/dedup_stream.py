@@ -58,13 +58,22 @@ def _make_dedup_fn(ttl_ms: int):
         first: pd.DataFrame | None = None
         n_new = 0
         last_ms = 0
+
+        def _key(row_df: pd.DataFrame) -> tuple:
+            r = row_df.iloc[0]
+            return (r["ts"], r["conv_id"], int(r["turn_idx"]))
+
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            if n_seen + n_new == 0:
-                # deterministic pick: earliest (ts, conv_id, turn_idx) in batch
+            if n_seen == 0:
+                # deterministic pick: earliest (ts, conv_id, turn_idx) across
+                # ALL Arrow chunks of the group (a group larger than one Arrow
+                # batch arrives as several pdfs; comparing each chunk's best
+                # keeps the survivor chunking-independent)
                 pick = pdf.sort_values(["ts", "conv_id", "turn_idx"]).iloc[[0]]
-                first = pick
+                if first is None or _key(pick) < _key(first):
+                    first = pick
             n_new += len(pdf)
             last_ms = max(last_ms, int(pdf["ts"].max().value // 1_000_000))
         state.update((n_seen + n_new,))

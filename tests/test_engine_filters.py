@@ -133,3 +133,17 @@ def test_must_not_multi_token_atom_rejected(setup):
     eng, _, _ = setup
     with pytest.raises(ValueError):
         eng.search(Query("f_bad", "term", [["spark"]], exclude=["two words"])).collect()
+
+
+def test_must_not_on_multiterm_and_tf_sort(setup):
+    """MUST_NOT applies to the constant-score (wildcard/regex/fuzzy) and
+    tf_sort routes too — engine vs oracle, driver and distributed paths."""
+    eng, oracles, rows = setup
+    for kind, atom in (("wildcard", "bra*"), ("fuzzy", "braf"), ("regex", "bra.")):
+        q = Query(f"f_not_{kind}", kind, [[atom]], k=10000, exclude=["merge"])
+        _compare(eng, oracles, q, mode="auto")
+    qt = Query("f_not_tf", "tf_sort", [["spark"]], k=10, exclude=["merge"])
+    exp = oracle_search(oracles["standard"], qt)
+    for mode in ("auto", "exhaustive"):
+        got = [(r["doc"], r["score"]) for r in eng.search(qt, mode=mode).collect()]
+        assert [d for d, _ in got] == [d for d, _ in exp], mode

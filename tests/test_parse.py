@@ -90,5 +90,10 @@ def test_parse_negation():
     assert q.exclude == ["merge", "window"]
     with pytest.raises(QueryParseError):
         parse_query("-only -negations")
+    # negation on multi-term queries is supported (engine anti-join)
+    qw = parse_query("ta* -merge")
+    assert qw.kind == "wildcard" and qw.exclude == ["merge"]
     with pytest.raises(QueryParseError):
-        parse_query("ta* -merge")
+        parse_query("tble~2")  # engine fuzzy is Levenshtein<=1 only
+    with pytest.raises(QueryParseError):
+        parse_query('+"hash merge"~5 +"table part"')  # one slop per query
