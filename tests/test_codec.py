@@ -48,3 +48,43 @@ def test_varint_compression_is_compact():
     ids = np.arange(10_000, dtype=np.int64) + (7 << 40)
     blob = codec.delta_encode(ids)
     assert len(blob) < 10_000 + 10
+
+
+# ---- property-based roundtrips (hypothesis) --------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**62), max_size=300))
+def test_varint_roundtrip_property(vals):
+    arr = np.asarray(vals, dtype=np.uint64)
+    buf, lens = codec.varint_encode_with_lengths(arr)
+    assert codec.varint_decode(buf, len(vals)).tolist() == [int(v) for v in vals]
+    # per-value lengths tile the buffer exactly
+    assert int(lens.sum()) == len(buf)
+    assert codec.varint_encode(arr) == buf
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**40), min_size=1, max_size=300, unique=True))
+def test_delta_roundtrip_property(vals):
+    arr = np.sort(np.asarray(vals, dtype=np.int64))
+    assert codec.delta_decode(codec.delta_encode(arr), len(arr)).tolist() == arr.tolist()
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.lists(st.integers(min_value=0, max_value=100000),
+                         min_size=1, max_size=20).map(sorted).map(
+                             lambda xs: sorted(set(xs))),
+                min_size=1, max_size=30))
+def test_positions_roundtrip_property(plists):
+    plists = [np.asarray(p, dtype=np.int64) for p in plists if p]
+    if not plists:
+        return
+    buf = codec.encode_positions(plists)
+    tfs = np.asarray([len(p) for p in plists])
+    out = codec.decode_positions(buf, tfs)
+    for got, exp in zip(out, plists):
+        assert got.tolist() == exp.tolist()

@@ -82,3 +82,30 @@ def test_compact_restores_rank_identity(spark, setup):
             assert [d for d, _ in got] == [d for d, _ in exp], f"{q.query_id} [{mode}]"
             for (gd, gs), (ed, es) in zip(got, exp):
                 assert abs(gs - es) < 1e-6
+
+
+def test_block_cache_invalidated_by_refresh(spark, tmp_root):
+    """The serving block cache holds immutable segment blocks; after an
+    incremental merge, refresh() must drop it so new delta postings serve —
+    a stale cache would silently hide merged docs."""
+    import pandas as pd
+    import pyarrow as pa
+
+    tbl = generate_transcripts(400, max_tokens=30).to_pandas()
+    base, delta = tbl.iloc[:300].copy(), tbl.iloc[300:].copy()
+    delta["text"] = delta["text"] + " cachemarker"
+    base_src = os.path.join(tmp_root, "cc_base.parquet")
+    delta_src = os.path.join(tmp_root, "cc_delta.parquet")
+    pq.write_table(pa.Table.from_pandas(base, preserve_index=False), base_src)
+    pq.write_table(pa.Table.from_pandas(delta, preserve_index=False), delta_src)
+
+    ix = os.path.join(tmp_root, "ix_cc")
+    build_index(spark, spark.read.parquet(base_src), ix, analyzer="standard", n_segments=2)
+    eng = SearchEngine(spark, {"standard": ix})
+    q = Query("cc", "term", [["cachemarker"]], k=500)
+    assert len(eng.search(q).collect()) == 0  # also caches the (empty) term
+
+    merge_delta(spark, IndexPaths(ix), spark.read.parquet(delta_src))
+    eng.refresh()
+    hits = eng.search(q).collect()
+    assert len(hits) == len(delta)
