@@ -307,6 +307,14 @@ class SearchEngine:
             out.extend(toks)
         return sorted(set(out))
 
+    def _anti_join_excluded(self, df: DataFrame, a: str, ex_terms: list[str]) -> DataFrame:
+        """MUST_NOT as a distributed anti-join on the excluded terms' postings
+        — scales to head-term exclusions (nothing collects to the driver)."""
+        if not ex_terms:
+            return df
+        ex_docs = decode_blocks_df(self._blocks(a, ex_terms)).select("doc_id").distinct()
+        return df.join(ex_docs, "doc_id", "left_anti")
+
     def _excluded_ids(self, a: str, ex_terms: list[str]) -> np.ndarray:
         """Tombstones ∪ doc ids of the excluded terms, as one sorted array for
         the scorers (the same mechanism incremental deletes use)."""
@@ -651,11 +659,7 @@ class SearchEngine:
             .filter(F.col("ng") == n_groups)  # mm=100%: every group matched
             .select("doc_id", "score")
         )
-        if ex_terms:
-            # MUST_NOT as a distributed anti-join on the excluded postings —
-            # scales to head-term exclusions (nothing collects to the driver)
-            ex_docs = decode_blocks_df(self._blocks(a, ex_terms)).select("doc_id").distinct()
-            scored = scored.join(ex_docs, "doc_id", "left_anti")
+        scored = self._anti_join_excluded(scored, a, ex_terms or [])
         return self._finalize(scored, q, a)
 
     def _phrase_contrib(self, a: str, at: _Atom, idf_sum: float, avgdl: float) -> DataFrame:
@@ -704,9 +708,7 @@ class SearchEngine:
         if tomb.size:
             tdf = self.spark.createDataFrame([(int(t),) for t in tomb], ["doc_id"])
             rows = rows.join(F.broadcast(tdf), "doc_id", "left_anti")
-        if ex_terms:
-            ex_docs = decode_blocks_df(self._blocks(a, ex_terms)).select("doc_id").distinct()
-            rows = rows.join(ex_docs, "doc_id", "left_anti")
+        rows = self._anti_join_excluded(rows, a, ex_terms or [])
         docs = self._docs(a).select("doc_id", "doc", "conv_id", "turn_idx", "ts", "tool")
         if q.ts_after is not None:
             docs = docs.filter(F.col("ts") >= F.lit(q.ts_after))
@@ -741,9 +743,7 @@ class SearchEngine:
             return self._empty_hits()
         rows = decode_blocks_df(self._blocks(a, terms))
         scored = rows.select("doc_id").distinct().withColumn("score", F.lit(1.0))
-        if ex_terms:
-            ex_docs = decode_blocks_df(self._blocks(a, ex_terms)).select("doc_id").distinct()
-            scored = scored.join(ex_docs, "doc_id", "left_anti")
+        scored = self._anti_join_excluded(scored, a, ex_terms)
         return self._finalize(scored, q, a)
 
     def _driver_multiterm(

@@ -149,11 +149,15 @@ def parse_query(
                 "(CONSTANT_SCORE multi-term rewrite)"
             )
         ak, payload, extra = groups[0][0]
-        if ak == "fuzzy" and extra != 1:
-            # the engine's dictionary expansion is Levenshtein<=1 (the
-            # reference's fuzzy shape, GeneMINDImpl.java:74-83); reject rather
-            # than silently running a different edit distance
-            raise QueryParseError(f"only fuzzy distance 1 is supported, got ~{extra}")
+        if ak == "fuzzy":
+            if extra == 0:
+                # Lucene parses ~0 as an exact term query — lower it the same way
+                return Query(query_id, "term", [[payload]], k=k, analyzer=analyzer, **kw)
+            if extra != 1:
+                # the engine's dictionary expansion is Levenshtein<=1 (the
+                # reference's fuzzy shape, GeneMINDImpl.java:74-83); reject
+                # rather than silently running a different edit distance
+                raise QueryParseError(f"only fuzzy distance 1 is supported, got ~{extra}")
         return Query(query_id, ak, [[payload]], k=k, analyzer=analyzer, **kw)
 
     slops = {slop for g in groups for ak, _, slop in g if ak == "proximity"}

@@ -141,7 +141,8 @@ def test_must_not_on_multiterm_and_tf_sort(setup):
     eng, oracles, rows = setup
     for kind, atom in (("wildcard", "bra*"), ("fuzzy", "braf"), ("regex", "bra.")):
         q = Query(f"f_not_{kind}", kind, [[atom]], k=10000, exclude=["merge"])
-        _compare(eng, oracles, q, mode="auto")
+        _compare(eng, oracles, q, mode="auto")        # driver route
+        _compare(eng, oracles, q, mode="exhaustive")  # distributed anti-join route
     qt = Query("f_not_tf", "tf_sort", [["spark"]], k=10, exclude=["merge"])
     exp = oracle_search(oracles["standard"], qt)
     for mode in ("auto", "exhaustive"):

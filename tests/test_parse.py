@@ -97,3 +97,8 @@ def test_parse_negation():
         parse_query("tble~2")  # engine fuzzy is Levenshtein<=1 only
     with pytest.raises(QueryParseError):
         parse_query('+"hash merge"~5 +"table part"')  # one slop per query
+
+
+def test_parse_fuzzy_zero_is_exact_term():
+    q = parse_query("braf~0")  # Lucene lowers ~0 to an exact term query
+    assert q.kind == "term" and q.groups == [["braf"]]
