@@ -441,6 +441,12 @@ class SearchEngine:
         scorer = wand.make_segment_scorer(
             meta, n_groups, q.k, avgdl, prune=True, excluded=excluded
         )
+        # One scoring call PER SEGMENT, not one global call: the scorer's
+        # k-boundary heap tie-breaks by doc_id, which equals the canonical
+        # (conv_id, turn_idx) order only WITHIN a segment (builder guarantee);
+        # a single global heap would drop boundary ties in seg-major order and
+        # return the wrong tied doc. Cross-segment ties survive because the
+        # cutoff below keeps every candidate at the boundary score.
         outs = [scorer((seg,), g) for seg, g in pdf.groupby("seg", sort=False)]
         cand = pd.concat(outs, ignore_index=True) if outs else pd.DataFrame()
         if cand.empty:
