@@ -82,11 +82,16 @@ class SearchEngine:
     # doc metadata (doc_id → docID/conv/turn/ts) cached driver-side below this
     # corpus size: hydration becomes a local merge, no per-query Spark job
     DOC_CACHE_MAX_DOCS = int(os.environ.get("INTUITION_DOC_CACHE_MAX_DOCS", "1000000"))
-    # LRU postings-block cache (Solr's queryResult/filter-cache analogue):
-    # repeated query terms skip the postings scan job entirely. Bounded by
-    # total cached postings count; segments are immutable so entries only
-    # invalidate on refresh() after an incremental merge.
+    # LRU postings-block cache (Solr filter-cache analogue): repeated query
+    # terms skip the postings scan job entirely. Bounded by total cached
+    # postings count; segments are immutable so entries only invalidate on
+    # refresh() after an incremental merge.
     BLOCK_CACHE_MAX_POSTINGS = int(os.environ.get("INTUITION_BLOCK_CACHE_POSTINGS", "4000000"))
+    # LRU query-result cache (Solr queryResultCache analogue): a repeated
+    # identical query returns its result frame without re-scoring. Driver-path
+    # results are materialized LocalTableScans, so re-collect is ~free;
+    # distributed plans re-execute on collect (cache still skips planning).
+    RESULT_CACHE_MAX = int(os.environ.get("INTUITION_RESULT_CACHE_MAX", "256"))
 
     def __init__(
         self, spark: SparkSession, index_dirs: dict[str, str] | str, cache_dictionary: bool = True
@@ -102,6 +107,7 @@ class SearchEngine:
 
         self._block_cache: OrderedDict[tuple[str, str], pd.DataFrame] = OrderedDict()
         self._block_cache_postings = 0
+        self._result_cache: OrderedDict[tuple, DataFrame] = OrderedDict()
         self._postings_reader: dict[str, DataFrame] = {}
         self._docs_reader: dict[str, DataFrame] = {}
         for a, p in self.paths.items():
@@ -251,8 +257,30 @@ class SearchEngine:
         )
 
     # ---- search --------------------------------------------------------
+    @staticmethod
+    def _result_key(q: Query, mode: str, a: str) -> tuple:
+        """Semantic identity of a query (query_id excluded — it's a label)."""
+        return (
+            a, mode, q.kind, tuple(tuple(g) for g in q.groups), q.slop, q.k,
+            tuple(q.filter_docs) if q.filter_docs is not None else None,
+            q.ts_after, q.require_no_tool,
+            tuple(q.exclude) if q.exclude else None,
+        )
+
     def search(self, q: Query, mode: str = "auto") -> DataFrame:
         a = self._route(q)
+        rkey = self._result_key(q, mode, a)
+        hit = self._result_cache.get(rkey)
+        if hit is not None:
+            self._result_cache.move_to_end(rkey)
+            return hit
+        out = self._search_uncached(q, a, mode)
+        self._result_cache[rkey] = out
+        while len(self._result_cache) > self.RESULT_CACHE_MAX:
+            self._result_cache.popitem(last=False)
+        return out
+
+    def _search_uncached(self, q: Query, a: str, mode: str) -> DataFrame:
         has_filter = q.filter_docs is not None or q.ts_after is not None or q.require_no_tool
         ex_terms = self._exclude_terms(q, a)
         if q.kind in ("wildcard", "regex", "fuzzy"):

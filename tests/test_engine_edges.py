@@ -110,3 +110,21 @@ def test_block_cache_eviction_accounting(engine):
         assert len(engine._block_cache) <= 2
     finally:
         type(engine).BLOCK_CACHE_MAX_POSTINGS = old_cap
+
+
+def test_result_cache_identity_and_refresh(engine):
+    """Query-result cache: the same semantic query returns the cached frame
+    (identical object), a different k is a different entry, and refresh()
+    clears it."""
+    engine._result_cache.clear()
+    q = Query("r1", "term", [["braf"]], k=10)
+    df1 = engine.search(q)
+    df2 = engine.search(Query("r1b", "term", [["braf"]], k=10))  # same semantics
+    assert df2 is df1  # served from the result cache despite a different id
+    df3 = engine.search(Query("r1c", "term", [["braf"]], k=5))
+    assert df3 is not df1
+    rows1 = [(r["doc"], r["score"]) for r in df1.collect()]
+    rows2 = [(r["doc"], r["score"]) for r in df2.collect()]
+    assert rows1 == rows2
+    engine.refresh()
+    assert len(engine._result_cache) == 0

@@ -30,6 +30,14 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+@pytest.fixture(autouse=True)
+def _fresh_result_cache(engine):
+    """These tests pin the ROUTING (plan shape), which the query-result cache
+    deliberately hides for repeated semantic queries — clear it per test."""
+    engine._result_cache.clear()
+    yield
+
+
 def test_small_query_runs_on_driver(engine):
     q = Query("s1", "and", [["braf"], ["v600e"]], k=10)
     plan = _plan(engine.search(q, mode="auto"))
