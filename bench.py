@@ -89,17 +89,38 @@ def run_engine_bench(spark, workdir: str) -> dict:
     }
 
 
-def run_gate_bench(spark, sf_dir: str) -> dict[str, float]:
+def run_gate_bench(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
+    """(gated entry timings, EXTRA twin timings). A warm-up pass (one cheap
+    scan per driver table + one gated entry, untimed) runs first so the first
+    timed entry doesn't absorb ~6 s of session/scan-planning cost (BENCH_r02's
+    fts_dictionary artifact)."""
     import __spark_entry__ as entrymod
     from intuition_spark.driver_gate import EXTRA_QUERIES
 
-    out = {}
-    # gated entries + the demoted EXTRA twins — everything stays benched
-    for name, fn in {**entrymod.queries(), **EXTRA_QUERIES}.items():
+    gated = entrymod.queries()
+    for t in ("documents", "embeddings", "events", "orders"):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            spark.read.parquet(p).limit(1).collect()
+    first = next(iter(gated))
+    gated[first](spark, sf_dir).collect()  # untimed warm-up run
+    # engine/index startup is server-boot cost, not query cost: build (or
+    # mtime-cache-load) the gate index before timing the fts_engine_* entries
+    from intuition_spark.driver_engine import get_documents_engine
+
+    get_documents_engine(spark, sf_dir)
+
+    out: dict[str, float] = {}
+    for name, fn in gated.items():
         t0 = time.time()
         fn(spark, sf_dir).collect()
         out[name] = round(time.time() - t0, 3)
-    return out
+    extra: dict[str, float] = {}
+    for name, fn in EXTRA_QUERIES.items():
+        t0 = time.time()
+        fn(spark, sf_dir).collect()
+        extra[name] = round(time.time() - t0, 3)
+    return out, extra
 
 
 # 3.2M turns so per-core compute dominates the fixed stage costs (session,
@@ -219,20 +240,42 @@ def main() -> None:
 
     spark = get_spark("bench", master=f"local[{cpus}]")
     t_all = time.time()
-    gate_times = run_gate_bench(spark, sf_dir)
+    gate_times, extra_times = run_gate_bench(spark, sf_dir)
     engine = run_engine_bench(spark, workdir)
     total = round(time.time() - t_all, 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # Full detail goes to a file; the printed line stays compact — BENCH_r02's
+    # single JSON line outgrew the driver's stdout tail capture (parsed: null),
+    # so the line carries gated timings at 2dp plus a trimmed engine block.
+    detail = {
+        "metric": "gate+engine wall sec",
+        "value": total,
+        "unit": "sec",
+        "queries": gate_times,
+        "extra_queries": extra_times,
+        "sf": sf_val,
+        "engine": engine,
+    }
+    repo = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(repo, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+    compact_engine = {
+        k: engine[k]
+        for k in ("build_turns_per_sec", "n_turns", "query_p50_sec", "query_p95_sec")
+    }
     print(
         json.dumps(
             {
-                "metric": "gate+engine wall seconds (index build turns/sec + query p50/p95 in engine.*)",
+                "metric": "gate+engine wall sec",
                 "value": total,
                 "unit": "sec",
-                "queries": gate_times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "engine": engine,
-            }
+                "queries": {k: round(v, 2) for k, v in gate_times.items()},
+                "sf": sf_val,
+                "engine": compact_engine,
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

@@ -23,12 +23,22 @@ from intuition_spark.query.engine import SearchEngine
 _ENGINES: dict[str, SearchEngine] = {}
 
 
+# bump when documents_as_transcripts changes the derived doc columns (the
+# /tmp index cache must not serve a stale composition)
+_DOCS_VARIANT = 2
+
+
 def documents_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    # role varies deterministically by doc_id so field-qualified predicates
+    # (role:assistant) have something to select — same formula in the oracles
     return docs.select(
         F.col("doc_id").cast("string").alias("conv_id"),
         F.lit(0).cast("int").alias("turn_idx"),
-        F.lit("user").alias("role"),
+        F.element_at(
+            F.array(F.lit("user"), F.lit("assistant"), F.lit("system")),
+            (F.col("doc_id") % 3).cast("int") + 1,
+        ).alias("role"),
         F.col("text"),
         F.lit(None).cast("string").alias("tool"),
         F.lit("2025-01-01 00:00:00").cast("timestamp").alias("ts"),
@@ -42,7 +52,7 @@ def get_documents_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
 
     key = (
         f"{os.path.basename(os.path.normpath(sf_dir))}_{st.st_size}_{int(st.st_mtime)}"
-        f"_v{LAYOUT_VERSION}"
+        f"_v{LAYOUT_VERSION}d{_DOCS_VARIANT}"
     )
     if key in _ENGINES:
         return _ENGINES[key]
@@ -176,6 +186,40 @@ def fts_engine_tf_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = get_documents_engine(spark, sf_dir)
     q = Query("gate_tf", "tf_sort", [["value"]], k=20, analyzer="ws")
     return eng.search(q).select("doc", "score")
+
+
+@register(
+    "fts_engine_field_qual",
+    f"""
+WITH {_BM25_CTES},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term IN ('table','value')
+       GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (c.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({K1} + 1.0)
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * s.dl / c.avgdl)) ) AS score,
+         count(*) AS ng
+  FROM tf JOIN df USING(term) JOIN doc_stats s USING(doc_id) CROSS JOIN corpus c
+  GROUP BY tf.doc_id)
+SELECT doc_id || ':0' AS doc, round(score, 4) AS score
+FROM scored WHERE ng = 2 AND doc_id % 3 = 1
+""",
+)
+def fts_engine_field_qual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-qualified boolean query through the STRING parser and the engine:
+    `+table +value role:assistant` — the reference's field-qualified atoms
+    (`authors:"…"` in buildSearchExpression, SolrServiceImpl.java:397-404;
+    `attr_content:… AND text:…`, Test1.java:577-586) as a non-scoring
+    exact-match predicate on a stored metadata column. BM25 stats stay global
+    (the filter restricts results, not scoring — fq semantics). role is
+    derived as doc_id%3 → user/assistant/system, mirrored in the oracle."""
+    eng = get_documents_engine(spark, sf_dir)
+    hits = eng.search_str(
+        "+table +value role:assistant", k=1_000_000, analyzer="ws", mode="exhaustive"
+    )
+    return hits.select("doc", F.round("score", 4).alias("score"))
 
 
 @register(

@@ -570,6 +570,8 @@ FROM tf JOIN df USING(term) JOIN doc_stats s USING(doc_id) CROSS JOIN corpus c
 JOIN documents d ON d.doc_id = tf.doc_id
 WHERE d.lang = 'en'
 """,
+    gated=False,  # P2 is gate-covered by the engine path (fts_engine_filtered
+    # + fts_engine_field_qual); this DataFrame twin stays pytest-gated
 )
 def fts_q9_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf, stats, idf = _bm25_parts(spark, sf_dir, ["stream"])
@@ -800,6 +802,8 @@ def rel_a4_weighted_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
 FROM events WHERE event_id < 500
 """,
+    gated=False,  # trivial scalar (F11) — demoted to the pytest-gated EXTRA
+    # window to make room for fts_engine_field_qual / fts_q18_kmer_fuzzy
 )
 def rel_f11_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _read(spark, sf_dir, "events").filter(F.col("event_id") < 500)

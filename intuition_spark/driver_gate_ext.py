@@ -1133,9 +1133,84 @@ def fts_q18_kmer_rc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# J2 supporting→parent fold with rank-stable dedupe
-# (AnalyticsServiceImpl.java:243-254; ArticleController.java:453-463)
+# Q18-fuzzy / Q7: per-5-mer ~1 fuzzy sequence search — the reference's
+# GeneMINDImpl.findSequence builds a complexphrase of 5-mer tokens each with
+# `~1` fuzziness (MIND/GeneMINDImpl.java:189-241, wildcard(...) :74-83). In a
+# positional conjunction an indel would shift every later window, so the
+# coherent per-window edit is substitution: base b matches iff EVERY query
+# 5-mer j is within Hamming distance 1 of the doc window at b+j. The
+# reference's 0–4 leading-`?` frame shifts are subsumed: we vote at every
+# base position, so all frames are always tried.
 # ---------------------------------------------------------------------------
+_FUZZY_QUERY = "tablepert"  # 1 substitution off "tablepart": 0 exact matches,
+# every "tablepart" occurrence matches fuzzily — the gate separates the fuzzy
+# path from the exact one (fts_q18_kmer)
+
+
+def _hamming1_neighbors(kmer: str) -> list[str]:
+    out = [kmer]
+    for i in range(len(kmer)):
+        for c in "abcdefghijklmnopqrstuvwxyz":
+            if c != kmer[i]:
+                out.append(kmer[:i] + c + kmer[i + 1 :])
+    return out
+
+
+def _kmer_fuzzy_match_counts(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    """(doc_id, n_matches) with per-k-mer Hamming-≤1 tolerance: each query
+    k-mer j expands to its 126-term Hamming-1 neighborhood (the Q7 fuzzy
+    dictionary-expansion machinery applied to the k-mer dictionary), votes
+    for base = pos - j, and a base where all k-mers voted is a match. The
+    doc k-mer at any position is unique, so votes need no dedupe."""
+    qk = [query[i : i + _K] for i in range(len(query) - _K + 1)]
+    post = _kmer_index(spark, sf_dir)
+    parts = [
+        post.filter(F.col("kmer").isin(_hamming1_neighbors(k))).select(
+            "doc_id", (F.col("pos") - j).alias("base"), F.lit(j).alias("j")
+        )
+        for j, k in enumerate(qk)
+    ]
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    bases = (
+        allp.groupBy("doc_id", "base")
+        .agg(F.count("*").alias("nk"))
+        .filter(F.col("nk") == len(qk))
+    )
+    return bases.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_matches"))
+
+
+def _d_fuzzy_base_cond(query: str) -> str:
+    """DuckDB: all query k-mer windows at base b are Hamming-≤1 matches."""
+    conds = []
+    for j in range(len(query) - _K + 1):
+        qk = query[j : j + _K]
+        conds.append(
+            f"len(list_filter(range(0, {_K}), p -> "
+            f"substr(s, (b + {j} + p)::INT, 1) <> substr('{qk}', (p + 1)::INT, 1))) <= 1"
+        )
+    return " AND ".join(conds)
+
+
+@register(
+    "fts_q18_kmer_fuzzy",
+    f"""
+WITH d AS (SELECT doc_id, replace(text, ' ', '') AS s FROM documents),
+m AS (SELECT doc_id,
+             len(list_filter(range(1, length(s) - {len(_FUZZY_QUERY)} + 2),
+                 b -> {_d_fuzzy_base_cond(_FUZZY_QUERY)}))::BIGINT AS n_matches
+      FROM d)
+SELECT doc_id, n_matches FROM m WHERE n_matches > 0
+""",
+)
+def fts_q18_kmer_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy sequence search through the SAME persisted k-mer index as
+    fts_q18_kmer: per-5-mer Hamming-≤1 neighborhoods (126 terms each) are
+    IN-pushdown scanned, so the per-query cost is neighborhood size × postings
+    density — never a corpus rescan. The oracle takes the independent route:
+    a character-window scan checking every window's Hamming distance."""
+    return _kmer_fuzzy_match_counts(spark, sf_dir, _FUZZY_QUERY)
 @register(
     "rel_j2_rank_fold",
     f"""
@@ -1193,11 +1268,76 @@ def rel_j2_rank_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q19 result clustering (Carrot2 /clustering, SolrClientTool.java:235-268) —
-# rows-only gate: k-means isn't SQL-expressible, but the output is
-# deterministic (fixed init, fixed iterations, stable tie-breaks)
+# Q19 result clustering (Carrot2 /clustering, SolrClientTool.java:235-268).
+# The k-means here is fully deterministic (init = first k docs in doc_id
+# order, fixed iteration count, 9dp-rounded argmax decisions, stable
+# tie-breaks), so Lloyd's unrolls into DuckDB CTE iterations: assign =
+# rank-1 over rounded dot products, update = normalized per-cluster mean,
+# empty clusters keep their previous centroid. The oracle replicates
+# training AND assignment — the gate checks content, not just 200 rows.
 # ---------------------------------------------------------------------------
-@register("fts_q19_clustering", None)
+def _q19_oracle_sql(term: str = "table", topk: int = 200, k: int = 4, iters: int = 10) -> str:
+    body = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+topd AS (SELECT doc_id FROM toks WHERE term = '{term}'
+         GROUP BY doc_id ORDER BY count(*) DESC, doc_id LIMIT {topk}),
+ht AS MATERIALIZED (SELECT t.doc_id, t.term FROM toks t JOIN topd USING (doc_id) WHERE t.term <> ''),
+tfm AS MATERIALIZED (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM ht GROUP BY doc_id, term),
+docs AS MATERIALIZED (SELECT DISTINCT doc_id FROM tfm),
+nd AS (SELECT count(*) AS n FROM docs),
+idf AS (SELECT term, ln(1.0 + (SELECT n FROM nd)::DOUBLE / count(*)) AS idf
+        FROM (SELECT DISTINCT doc_id, term FROM tfm) GROUP BY term),
+x0 AS (SELECT t.doc_id, t.term, t.tf * i.idf AS w FROM tfm t JOIN idf i USING (term)),
+nrm AS (SELECT doc_id, greatest(sqrt(sum(w * w)), 1e-12) AS nn FROM x0 GROUP BY doc_id),
+x AS MATERIALIZED (SELECT x0.doc_id, x0.term, x0.w / nrm.nn AS w FROM x0 JOIN nrm USING (doc_id)),
+rix AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS r FROM docs),
+c0 AS MATERIALIZED (SELECT r.r AS c, x.term, x.w FROM x JOIN rix r USING (doc_id) WHERE r.r < {k})"""
+    prev = "c0"
+    for i in range(1, iters + 1):
+        body += f""",
+sims{i} AS MATERIALIZED (
+  SELECT dc.doc_id, dc.c, coalesce(s.sim, 0.0) AS sim
+  FROM (SELECT d.doc_id, cc.c FROM docs d
+        CROSS JOIN (SELECT DISTINCT c FROM {prev}) cc) dc
+  LEFT JOIN (SELECT x.doc_id, p.c, sum(x.w * p.w) AS sim
+             FROM x JOIN {prev} p USING (term) GROUP BY x.doc_id, p.c) s
+    ON s.doc_id = dc.doc_id AND s.c = dc.c),
+a{i} AS MATERIALIZED (
+  SELECT doc_id, c FROM (
+    SELECT doc_id, c,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY round(sim, 9) DESC, c) AS rn
+    FROM sims{i}) WHERE rn = 1)"""
+        if i < iters:
+            body += f""",
+m{i} AS (SELECT c, count(*) AS m FROM a{i} GROUP BY c),
+v{i} AS (SELECT a.c, x.term, sum(x.w) AS sw
+         FROM a{i} a JOIN x USING (doc_id) GROUP BY a.c, x.term),
+vm{i} AS (SELECT v.c, v.term, v.sw / m.m AS v FROM v{i} v JOIN m{i} m USING (c)),
+nn{i} AS (SELECT c, greatest(sqrt(sum(v * v)), 1e-12) AS nn FROM vm{i} GROUP BY c),
+c{i} AS MATERIALIZED (
+  SELECT vm.c, vm.term, vm.v / nn.nn AS w FROM vm{i} vm JOIN nn{i} nn USING (c)
+  UNION ALL
+  SELECT p.c, p.term, p.w FROM {prev} p WHERE p.c NOT IN (SELECT c FROM m{i}))"""
+            prev = f"c{i}"
+    body += f""",
+mf AS (SELECT c, count(*) AS m FROM a{iters} GROUP BY c),
+lm AS (SELECT a.c, x.term, sum(x.w) AS sw
+       FROM a{iters} a JOIN x USING (doc_id) GROUP BY a.c, x.term),
+lmm AS (SELECT lm.c, lm.term, lm.sw / m.m AS v FROM lm JOIN mf m USING (c)),
+ranked AS (SELECT c, term,
+                  row_number() OVER (PARTITION BY c
+                                     ORDER BY round(v, 9) DESC, term) AS rn
+           FROM lmm),
+labels AS (SELECT c, string_agg(term, ' ' ORDER BY rn) AS label
+           FROM ranked WHERE rn <= 3 GROUP BY c)
+SELECT a.doc_id, a.c::INT AS cluster, l.label
+FROM a{iters} a JOIN labels l USING (c)"""
+    return body
+
+
+@register("fts_q19_clustering", _q19_oracle_sql())
 def fts_q19_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster the top-200 hits of a term query into 4 labeled groups over
     their TF-IDF vectors — post-retrieval only, like the reference's

@@ -41,12 +41,17 @@ def tfidf_matrix(hits_toks: DataFrame, id_col: str = "doc_id", term_col: str = "
 
 
 def kmeans_deterministic(X: np.ndarray, k: int = 4, iters: int = 10) -> np.ndarray:
-    """Lloyd's with deterministic init (first k rows) and stable tie-break."""
+    """Lloyd's with deterministic init (first k rows) and stable tie-break.
+
+    Similarities are rounded to 9dp BEFORE each argmax so the assignment
+    decision is reproducible across engines (an unordered-summation oracle —
+    DuckDB hash-agg SUM — can differ from numpy's fold in the last ulp; the
+    decision points must quantize, like the cosine k-boundaries elsewhere)."""
     k = min(k, len(X))
     C = X[:k].copy()
     assign = np.zeros(len(X), dtype=np.int32)
     for _ in range(iters):
-        sims = X @ C.T
+        sims = np.round(X @ C.T, 9)
         assign = sims.argmax(axis=1).astype(np.int32)  # argmax = first max (stable)
         for c in range(k):
             m = assign == c
@@ -57,10 +62,12 @@ def kmeans_deterministic(X: np.ndarray, k: int = 4, iters: int = 10) -> np.ndarr
 
 
 def cluster_labels(vocab: np.ndarray, X: np.ndarray, assign: np.ndarray, top_terms: int = 3):
-    """Top TF-IDF terms per cluster — the Carrot2-style cluster label."""
+    """Top TF-IDF terms per cluster — the Carrot2-style cluster label.
+    Mean weights are rounded to 9dp before ranking (cross-engine-stable
+    term order; ties break by vocab order, i.e. lexicographically)."""
     labels = {}
     for c in np.unique(assign):
-        centroid = X[assign == c].mean(axis=0)
+        centroid = np.round(X[assign == c].mean(axis=0), 9)
         top = np.argsort(-centroid, kind="stable")[:top_terms]
         labels[int(c)] = " ".join(vocab[top])
     return labels

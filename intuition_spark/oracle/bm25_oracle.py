@@ -69,6 +69,12 @@ def _candidate_filter(ix: OracleIndex, q: Query, doc: str) -> bool:
         return False
     if q.require_no_tool and m.get("tool") is not None:
         return False
+    for fcol, fval in (q.field_eq or {}).items():  # field-qualified fq atoms
+        if fcol == "conv_id":
+            if doc.rpartition(":")[0] != fval:
+                return False
+        elif m.get(fcol) != fval:
+            return False
     for xatom in q.exclude or []:  # MUST_NOT: any occurrence excludes the doc
         for t, _ in analyze_text(xatom, q.effective_analyzer):
             if doc in ix.postings.get(t, {}):

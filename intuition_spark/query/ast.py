@@ -45,6 +45,10 @@ from datetime import datetime
 
 KINDS = ("term", "and", "or_groups", "phrase", "proximity", "wildcard", "regex", "fuzzy", "tf_sort")
 
+# metadata columns a field-qualified predicate may target (the stored,
+# non-analyzed transcript fields; `text` is the default scored field)
+FIELD_EQ_COLS = ("role", "tool", "conv_id")
+
 # Lucene SloppyPhraseScorer parity (1/(1+distance) sloppy-freq) is the
 # default; "uniform" restores the round-1 simplification. Shared by
 # query/engine.py and oracle/bm25_oracle.py so both sides always agree.
@@ -66,10 +70,21 @@ class Query:
     # `-pmid_supporting:*` shape, SolrServiceImpl.java:88): docs containing
     # ANY of these single-term atoms are excluded. Non-scoring.
     exclude: list[str] | None = None
+    # General field-qualified predicates — the reference's field-qualified
+    # atoms (`authors:"…"` in buildSearchExpression, SolrServiceImpl.java:
+    # 397-404; field-qualified booleans, Test1.java:577-586) mapped onto the
+    # transcript metadata columns: exact match on role/tool/conv_id, applied
+    # as a non-scoring fq like require_no_tool.
+    field_eq: dict[str, str] | None = None
 
     def __post_init__(self) -> None:
         if self.kind not in KINDS:
             raise ValueError(f"unknown query kind {self.kind!r}")
+        for f in self.field_eq or {}:
+            if f not in FIELD_EQ_COLS:
+                raise ValueError(
+                    f"field_eq supports {sorted(FIELD_EQ_COLS)}, got {f!r}"
+                )
 
     @property
     def effective_analyzer(self) -> str:

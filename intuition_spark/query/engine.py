@@ -101,6 +101,7 @@ class SearchEngine:
         self.spark = spark
         self.paths: dict[str, IndexPaths] = {a: IndexPaths(d) for a, d in index_dirs.items()}
         self.stats: dict[str, dict] = {}
+        self._cache_dictionary = cache_dictionary
         self._dict_cache: dict[str, dict[str, int]] = {}
         self._doc_cache: dict[str, pd.DataFrame] = {}
         from collections import OrderedDict
@@ -110,38 +111,66 @@ class SearchEngine:
         self._result_cache: OrderedDict[tuple, DataFrame] = OrderedDict()
         self._postings_reader: dict[str, DataFrame] = {}
         self._docs_reader: dict[str, DataFrame] = {}
+        self._tomb_cache: dict[tuple, np.ndarray] = {}
+        self._load_stats()
+        self._needs_warm: set[str] = set(self.paths)
+        for a in self.paths:  # eager warm-up: first real query pays no cold start
+            self._ensure_warm(a)
+
+    def _load_stats(self) -> None:
         for a, p in self.paths.items():
             with open(p.stats) as f:
                 self.stats[a] = json.load(f)
-            if cache_dictionary:
-                dic = self.spark.read.parquet(p.dictionary).select("term", "df", "cf")
-                if dic.count() <= self.DICT_CACHE_MAX_TERMS:
-                    pdf = dic.toPandas()
-                    self._dict_cache[a] = dict(
-                        zip(
-                            pdf["term"],
-                            zip(pdf["df"].astype(int), pdf["cf"].astype(int), strict=True),
-                            strict=True,
-                        )
-                    )
-            if cache_dictionary and self.stats[a]["N"] <= self.DOC_CACHE_MAX_DOCS:
-                self._doc_cache[a] = (
-                    self.spark.read.parquet(p.docs)
-                    .select("doc_id", "doc", "conv_id", "turn_idx", "ts")
-                    .toPandas()
-                    .set_index("doc_id", drop=False)
+
+    def _ensure_warm(self, a: str) -> None:
+        """Build the driver-side dictionary/doc caches + prime the postings
+        reader for one analyzer. Idempotent; deferred after refresh() so a
+        sharded server refreshing many shards doesn't pay all warm-ups
+        synchronously — each shard re-warms on its first query instead."""
+        if a not in self._needs_warm:
+            return
+        self._needs_warm.discard(a)
+        if not self._cache_dictionary:
+            return
+        p = self.paths[a]
+        dic = self.spark.read.parquet(p.dictionary).select("term", "df", "cf")
+        if dic.count() <= self.DICT_CACHE_MAX_TERMS:
+            pdf = dic.toPandas()
+            self._dict_cache[a] = dict(
+                zip(
+                    pdf["term"],
+                    zip(pdf["df"].astype(int), pdf["cf"].astype(int), strict=True),
+                    strict=True,
                 )
-            if cache_dictionary:
-                # serving warm-up: one 1-row scan primes the postings reader
-                # (file listing, schema, parquet footers) so the first real
-                # query doesn't pay cold-start planning cost
-                reader = self.spark.read.parquet(p.postings)
-                self._postings_reader[a] = reader
-                reader.select("term").limit(1).collect()
+            )
+        if self.stats[a]["N"] <= self.DOC_CACHE_MAX_DOCS:
+            self._doc_cache[a] = (
+                self.spark.read.parquet(p.docs)
+                .select("doc_id", "doc", "conv_id", "turn_idx", "ts", "role", "tool")
+                .toPandas()
+                .set_index("doc_id", drop=False)
+            )
+        # serving warm-up: one 1-row scan primes the postings reader
+        # (file listing, schema, parquet footers) so the first real
+        # query doesn't pay cold-start planning cost
+        reader = self.spark.read.parquet(p.postings)
+        self._postings_reader[a] = reader
+        reader.select("term").limit(1).collect()
 
     def refresh(self) -> None:
-        """Reload stats + dictionary cache after incremental merges."""
-        self.__init__(self.spark, {a: p.root for a, p in self.paths.items()})
+        """Invalidate caches after incremental merges. Cheap by design: only
+        the tiny stats JSONs reload synchronously; dictionary/doc caches and
+        reader warm-up rebuild lazily on the next query per analyzer."""
+        self._load_stats()
+        self._dict_cache.clear()
+        self._doc_cache.clear()
+        self._block_cache.clear()
+        self._block_cache_postings = 0
+        self._result_cache.clear()
+        self._postings_reader.clear()
+        self._docs_reader.clear()
+        self._tomb_cache = {}
+        self._needs_warm = set(self.paths)
 
     # ---- helpers -------------------------------------------------------
     def _route(self, q: Query) -> str:
@@ -179,7 +208,7 @@ class SearchEngine:
             return np.empty(0, dtype=np.int64)
         mtime = _os.path.getmtime(p)
         key = (a, mtime)
-        cached = getattr(self, "_tomb_cache", {}).get(key)
+        cached = self._tomb_cache.get(key)
         if cached is None:
             ids = self.spark.read.parquet(p).select("doc_id").toPandas()["doc_id"].to_numpy()
             cached = np.sort(ids.astype(np.int64))
@@ -248,6 +277,8 @@ class SearchEngine:
             docs = docs.filter(F.col("ts") >= F.lit(q.ts_after))
         if q.require_no_tool:
             docs = docs.filter(F.col("tool").isNull())
+        for fcol, fval in (q.field_eq or {}).items():
+            docs = docs.filter(F.col(fcol) == F.lit(fval))
         out = scored.join(docs, "doc_id", "inner")
         keys = [F.col(c).desc() if c in ("score", "tf") else F.col(c) for c in order]
         return (
@@ -264,12 +295,26 @@ class SearchEngine:
             a, mode, q.kind, tuple(tuple(g) for g in q.groups), q.slop, q.k,
             tuple(q.filter_docs) if q.filter_docs is not None else None,
             q.ts_after, q.require_no_tool,
+            tuple(sorted(q.field_eq.items())) if q.field_eq else None,
             tuple(q.exclude) if q.exclude else None,
+        )
+
+    def _index_state(self, a: str) -> tuple:
+        """On-disk index-state token folded into every result-cache key:
+        merge_delta/compact rewrite stats.json and deletes append under
+        tombstones/, so their mtimes change whenever results could — a result
+        cached before a merge can never serve deleted/superseded docs after
+        it, even before refresh() is called (the pre-cache invariant)."""
+        tp = os.path.join(self.paths[a].root, "tombstones")
+        return (
+            os.path.getmtime(self.paths[a].stats),
+            os.path.getmtime(tp) if os.path.exists(tp) else 0.0,
         )
 
     def search(self, q: Query, mode: str = "auto") -> DataFrame:
         a = self._route(q)
-        rkey = self._result_key(q, mode, a)
+        self._ensure_warm(a)
+        rkey = self._result_key(q, mode, a) + self._index_state(a)
         hit = self._result_cache.get(rkey)
         if hit is not None:
             self._result_cache.move_to_end(rkey)
@@ -281,7 +326,10 @@ class SearchEngine:
         return out
 
     def _search_uncached(self, q: Query, a: str, mode: str) -> DataFrame:
-        has_filter = q.filter_docs is not None or q.ts_after is not None or q.require_no_tool
+        has_filter = (
+            q.filter_docs is not None or q.ts_after is not None
+            or q.require_no_tool or bool(q.field_eq)
+        )
         ex_terms = self._exclude_terms(q, a)
         if q.kind in ("wildcard", "regex", "fuzzy"):
             return self._search_multiterm(
@@ -743,11 +791,13 @@ class SearchEngine:
             tdf = self.spark.createDataFrame([(int(t),) for t in tomb], ["doc_id"])
             rows = rows.join(F.broadcast(tdf), "doc_id", "left_anti")
         rows = self._anti_join_excluded(rows, a, ex_terms or [])
-        docs = self._docs(a).select("doc_id", "doc", "conv_id", "turn_idx", "ts", "tool")
+        docs = self._docs(a).select("doc_id", "doc", "conv_id", "turn_idx", "ts", "role", "tool")
         if q.ts_after is not None:
             docs = docs.filter(F.col("ts") >= F.lit(q.ts_after))
         if q.require_no_tool:
             docs = docs.filter(F.col("tool").isNull())
+        for fcol, fval in (q.field_eq or {}).items():
+            docs = docs.filter(F.col(fcol) == F.lit(fval))
         out = rows.join(docs, "doc_id")
         if q.filter_docs is not None:
             flt = self.spark.createDataFrame([(d,) for d in q.filter_docs], ["doc"])

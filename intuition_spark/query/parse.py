@@ -12,9 +12,12 @@ Grammar (whitespace-separated clauses; every clause is REQUIRED — edismax
 ``mm=100%``, `SolrClientTool.java:130,144,166,181`):
 
     query      := clause+
-    clause     := '+'? group | '+'? atom
+    clause     := '+'? group | '+'? atom | '-' term | field ':' value
     group      := '(' atom (OR atom)* ')'
     atom       := phrase | regex | term
+    field      := 'text' (scoring atom) | role|tool|conv_id (non-scoring
+                  exact-match fq on the metadata column; value may be quoted —
+                  `authors:"…"` shape, SolrServiceImpl.java:397-404)
     phrase     := '"' text '"' ('~' int)?          # slop>0 → proximity
     regex      := '/' pattern '/'                  # Lucene regex term query
     term       := word('~' int?)?                  # '~' → fuzzy (default 1)
@@ -39,12 +42,17 @@ _TOKEN_RE = re.compile(
         \+?\(                 # group open (leading + optional)
       | \)                    # group close
       | OR\b
+      | \+?[A-Za-z_]\w*:"(?:[^"\\]|\\.)*"   # field-qualified quoted value
       | "(?:[^"\\]|\\.)*"(?:~\d+)?   # quoted phrase, optional slop
       | /(?:[^/\\]|\\.)+/     # regex atom
       | \+?[^\s()]+           # bare term / wildcard / fuzzy
     )""",
     re.VERBOSE,
 )
+
+# a field-qualified clause: `role:assistant` / `authors:"some value"`
+# (buildSearchExpression field atoms, SolrServiceImpl.java:397-404)
+_FIELD_RE = re.compile(r'\+?([A-Za-z_]\w*):("(?:[^"\\]|\\.)*"|[^\s()]+)$')
 
 
 class QueryParseError(ValueError):
@@ -79,7 +87,14 @@ def _classify_atom(tok: str) -> tuple[str, str, int]:
         return "regex", tok[1:-1], 0
     m = re.fullmatch(r"([^~]+)~(\d*)", tok)
     if m:
-        return "fuzzy", m.group(1), int(m.group(2) or 1)
+        payload = m.group(1)
+        if any(c in payload for c in "*?/"):
+            # 'te*t~1' is neither a valid fuzzy nor a wildcard — Lucene's
+            # parser rejects mixed multi-term syntax; so do we
+            raise QueryParseError(
+                f"wildcard/regex metacharacters are not allowed in fuzzy atoms: {tok!r}"
+            )
+        return "fuzzy", payload, int(m.group(2) or 1)
     if "*" in tok or "?" in tok:
         return "wildcard", tok, 0
     return "term", tok, 0
@@ -98,6 +113,7 @@ def parse_query(
         raise QueryParseError("empty query")
     groups: list[list[tuple[str, str, int]]] = []
     exclude: list[str] = []
+    field_eq: dict[str, str] = {}
     i = 0
     while i < len(toks):
         t = toks[i]
@@ -111,6 +127,27 @@ def parse_query(
             exclude.append(payload)
             i += 1
             continue
+        fm = _FIELD_RE.fullmatch(t)
+        if fm and not t.endswith("("):
+            fname, fval = fm.group(1), fm.group(2)
+            if fval.startswith('"'):
+                fval = fval[1:-1].replace('\\"', '"')
+            if fname == "text":
+                # default-field qualification is just a scoring atom
+                groups.append([_classify_atom(fval)])
+            else:
+                from intuition_spark.query.ast import FIELD_EQ_COLS
+
+                if fname not in FIELD_EQ_COLS:
+                    raise QueryParseError(
+                        f"unknown field {fname!r} (supported: text, "
+                        f"{', '.join(FIELD_EQ_COLS)})"
+                    )
+                if fname in field_eq:
+                    raise QueryParseError(f"duplicate field predicate: {fname!r}")
+                field_eq[fname] = fval
+            i += 1
+            continue
         if t.endswith("("):
             group: list[tuple[str, str, int]] = []
             i += 1
@@ -121,6 +158,11 @@ def parse_query(
                         raise QueryParseError("OR without left atom")
                     want_atom = True
                 else:
+                    if toks[i].startswith("-"):
+                        raise QueryParseError(
+                            "negation inside groups is not supported "
+                            f"(negate at the top level): {toks[i]!r}"
+                        )
                     group.append(_classify_atom(toks[i].lstrip("+")))
                     want_atom = False
                 i += 1
@@ -137,9 +179,11 @@ def parse_query(
             i += 1
 
     if not groups:
-        raise QueryParseError("query has only negations — nothing to score")
+        raise QueryParseError("query has only negations/filters — nothing to score")
     if exclude:
         kw = dict(kw, exclude=exclude)
+    if field_eq:
+        kw = dict(kw, field_eq=field_eq)
     kinds = {ak for g in groups for ak, _, _ in g}
     multi = kinds & {"wildcard", "regex", "fuzzy"}
     if multi:

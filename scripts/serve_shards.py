@@ -64,7 +64,25 @@ def run(n_shards: int, ix_std: str, ix_ws: str, rounds: int) -> dict:
     ]
     for p in procs:
         p.start()
-    shards = [out_q.get() for _ in procs]
+    # bounded waits + liveness checks: a shard that dies before reporting
+    # (e.g. Spark session failure) fails the harness instead of hanging it
+    import queue as _queue
+
+    shards: list[dict] = []
+    deadline = time.time() + 600
+    while len(shards) < len(procs):
+        try:
+            shards.append(out_q.get(timeout=10))
+        except _queue.Empty:
+            dead = [p for p in procs if not p.is_alive() and p.exitcode not in (0, None)]
+            if dead or time.time() > deadline:
+                for p in procs:
+                    p.terminate()
+                missing = len(procs) - len(shards)
+                raise RuntimeError(
+                    f"{missing} shard(s) never reported "
+                    f"(dead: {[p.exitcode for p in dead]})"
+                )
     for p in procs:
         p.join()
     wall = max(s["wall_s"] for s in shards)

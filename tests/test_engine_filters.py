@@ -148,3 +148,40 @@ def test_must_not_on_multiterm_and_tf_sort(setup):
     for mode in ("auto", "exhaustive"):
         got = [(r["doc"], r["score"]) for r in eng.search(qt, mode=mode).collect()]
         assert [d for d, _ in got] == [d for d, _ in exp], mode
+
+
+def test_field_eq_role(setup):
+    """Field-qualified predicate (SolrServiceImpl.java:397-404 authors:"…"
+    shape): non-scoring exact match on the stored role column."""
+    eng, oracles, _ = setup
+    q = Query("f_role", "and", [["query"], ["data"]], k=10,
+              field_eq={"role": "assistant"})
+    _compare(eng, oracles, q)
+    docs = [r["doc"] for r in eng.search(q).collect()]
+    meta = eng.get_by_id(docs).collect()
+    assert meta and all(r["role"] == "assistant" for r in meta)
+
+
+def test_field_eq_conv_id(setup):
+    eng, oracles, rows = setup
+    conv = rows[len(rows) // 2]["conv_id"]
+    q = Query("f_conv", "term", [["spark"]], k=10, field_eq={"conv_id": conv})
+    _compare(eng, oracles, q)
+    got = [r["conv_id"] for r in eng.search(q).collect()]
+    assert all(c == conv for c in got)
+
+
+def test_field_eq_via_parser(setup):
+    """role:assistant round-trips through the string parser (VERDICT r2 #7)."""
+    eng, oracles, _ = setup
+    q = Query("f_rp", "and", [["query"], ["data"]], k=10,
+              field_eq={"role": "assistant"})
+    exp = [(r["doc"], r["score"]) for r in eng.search(q).collect()]
+    got = [(r["doc"], r["score"])
+           for r in eng.search_str("query data role:assistant", k=10).collect()]
+    assert got == exp
+
+
+def test_field_eq_unknown_field_rejected(setup):
+    with pytest.raises(ValueError):
+        Query("f_bad", "term", [["spark"]], field_eq={"nope": "x"})

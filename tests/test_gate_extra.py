@@ -46,9 +46,11 @@ def test_gate_window_not_exceeded():
     assert len(entrymod.queries()) <= GATE_WINDOW
 
 
-def test_all_gated_entries_have_oracle_except_clustering():
+def test_all_gated_entries_have_oracle():
+    """Every gated entry has a DuckDB oracle — since r3 even the k-means
+    clustering entry (deterministic Lloyd's unrolled into CTE iterations)."""
     rows_only = set(entrymod.queries()) - set(entrymod.oracle_sql())
-    assert rows_only == {"fts_q19_clustering"}
+    assert rows_only == set()
 
 
 @pytest.mark.parametrize("name", sorted(EXTRA_ORACLE_SQL))

@@ -102,3 +102,27 @@ def test_parse_negation():
 def test_parse_fuzzy_zero_is_exact_term():
     q = parse_query("braf~0")  # Lucene lowers ~0 to an exact term query
     assert q.kind == "term" and q.groups == [["braf"]]
+
+
+def test_parse_field_qualified():
+    q = parse_query('+table +value role:assistant')
+    assert q.kind == "and" and q.groups == [["table"], ["value"]]
+    assert q.field_eq == {"role": "assistant"}
+    # quoted values and the text: default-field form
+    q2 = parse_query('role:"some agent" text:foo')
+    assert q2.kind == "term" and q2.groups == [["foo"]]
+    assert q2.field_eq == {"role": "some agent"}
+    with pytest.raises(QueryParseError):
+        parse_query("bogusfield:x table")
+    with pytest.raises(QueryParseError):
+        parse_query("role:a role:b table")
+    with pytest.raises(QueryParseError):
+        parse_query("role:assistant")  # filter only — nothing to score
+
+
+def test_parse_fuzzy_rejects_metachars():
+    """'te*t~1' is neither fuzzy nor wildcard (ADVICE r2)."""
+    with pytest.raises(QueryParseError):
+        parse_query("te*t~1")
+    with pytest.raises(QueryParseError):
+        parse_query("(a OR -b)")  # negation inside groups
