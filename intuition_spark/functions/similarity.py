@@ -75,11 +75,39 @@ def train_centroids(
     return C
 
 
+def train_centroids_deterministic(
+    emb: DataFrame, k: int = 8, iters: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic Lloyd's over row-normalized vectors, built for
+    cross-engine parity (the gate's oracle unrolls the SAME iterations into
+    SQL): init = first k vectors in id order, similarity argmax decisions
+    rounded to 9dp (ties → lowest centroid id), empty clusters keep their
+    previous centroid, means re-normalized. The training set must be a
+    bounded/sampled frame — centroids are a driver-side artifact."""
+    pdf = emb.select(id_col, vec_col).orderBy(id_col).toPandas()
+    X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    k = min(k, len(X))
+    C = X[:k].copy()
+    for _ in range(iters):
+        sims = np.round(X @ C.T, 9)
+        assign = sims.argmax(axis=1)
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                v = X[m].mean(axis=0)
+                C[c] = v / max(np.linalg.norm(v), 1e-12)
+    return C
+
+
 def assign_centroids(
     emb: DataFrame, centroids: np.ndarray, vec_col: str = "embedding", out_col: str = "centroid"
 ) -> DataFrame:
     """One vectorized pass: nearest-centroid id per vector (numpy matmul per
-    Arrow batch)."""
+    Arrow batch). Decision = argmax of the RAW dot product rounded to 9dp
+    (row normalization drops out of the argmax; rounding the raw dot makes
+    the decision reproducible by an oracle computing the same quantity)."""
     C = centroids.astype(np.float64)
 
     @F.pandas_udf(T.IntegerType())
@@ -87,8 +115,7 @@ def assign_centroids(
         X = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
         if len(X) == 0:
             return pd.Series([], dtype="int32")
-        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-        return pd.Series((X @ C.T).argmax(axis=1).astype(np.int32))
+        return pd.Series(np.round(X @ C.T, 9).argmax(axis=1).astype(np.int32))
 
     return emb.withColumn(out_col, nearest(F.col(vec_col)))
 
@@ -105,8 +132,9 @@ def ivf_candidates(
     """(id, cosine) over the `nprobe` buckets nearest the query — no cut.
     `assigned` should be persisted partitioned-by-centroid for pruning."""
     q = np.asarray(qvec, dtype=np.float64)
-    qn = q / max(np.linalg.norm(q), 1e-12)
-    probe = np.argsort(-(centroids @ qn))[:nprobe].tolist()
+    # raw-dot probe selection, 9dp-rounded, stable (lowest cid on ties) —
+    # same decision rule as assign_centroids, same oracle-replicable form
+    probe = np.argsort(-np.round(centroids @ q, 9), kind="stable")[:nprobe].tolist()
     cand = assigned.filter(F.col(centroid_col).isin([int(c) for c in probe]))
     return cosine_scores(cand, qvec, id_col=id_col, vec_col=vec_col)
 

@@ -735,10 +735,17 @@ class SearchEngine:
         contrib = parts[0]
         for p in parts[1:]:
             contrib = contrib.unionByName(p)
+        # mm=100% as a bitmask OR instead of countDistinct: one shuffle with
+        # full map-side combine (countDistinct plans a two-phase distinct
+        # aggregation). gids are dense 0..n_groups-1 and a query never has
+        # 64 AND-groups, so the mask fits a long.
         scored = (
             contrib.groupBy("doc_id")
-            .agg(F.sum("contrib").alias("score"), F.countDistinct("gid").alias("ng"))
-            .filter(F.col("ng") == n_groups)  # mm=100%: every group matched
+            .agg(
+                F.sum("contrib").alias("score"),
+                F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), gid)")).alias("gmask"),
+            )
+            .filter(F.col("gmask") == F.lit((1 << n_groups) - 1))
             .select("doc_id", "score")
         )
         scored = self._anti_join_excluded(scored, a, ex_terms or [])

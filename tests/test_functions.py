@@ -144,3 +144,34 @@ def test_multimodal_resize_and_frames(spark):
     frames = multimodal.sample_frames(media, every_ms=1500).collect()
     assert len(frames) > 0
     assert all(r["t_ms"] % 1500 == 0 for r in frames)
+
+def test_embedding_near_dup_lsh_default_recall(spark):
+    """The default embedding_near_duplicates is sign-LSH bucketed (no
+    crossJoin); at a production-like threshold it matches brute force."""
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(100, 16))
+    for a, b in [(10, 50), (11, 51), (12, 52)]:
+        X[b] = X[a] + rng.normal(scale=0.02, size=16)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(100)],
+        "vec_id long, embedding array<float>",
+    )
+    exact = {(r["a_id"], r["b_id"])
+             for r in dedup.embedding_near_duplicates_bruteforce(emb, threshold=0.95).collect()}
+    got = {(r["a_id"], r["b_id"])
+           for r in dedup.embedding_near_duplicates(emb, threshold=0.95).collect()}
+    assert got == exact
+    assert {(10, 50), (11, 51), (12, 52)} <= got
+
+
+def test_train_centroids_deterministic_stable(spark):
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(64, 8))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(64)],
+        "vec_id long, embedding array<float>",
+    )
+    C1 = similarity.train_centroids_deterministic(emb, k=4, iters=3)
+    C2 = similarity.train_centroids_deterministic(emb, k=4, iters=3)
+    assert np.array_equal(C1, C2) and C1.shape == (4, 8)
+    assert np.allclose(np.linalg.norm(C1, axis=1), 1.0)  # unit-norm centroids

@@ -1,0 +1,110 @@
+"""Real image decode path (INTUITION_MM_DECODE=real): the pure-stdlib PNG
+decoder must invert an independently-written encoder for every PNG filter
+type, and the mapInPandas feature pipeline must consume real pixels
+end-to-end. The default stub mode (the gate path) is untouched."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from intuition_spark.functions.multimodal import (
+    MEDIA_SCHEMA,
+    PNG_SIG,
+    _decode_png,
+    extract_features,
+)
+
+
+def _chunk(typ: bytes, data: bytes) -> bytes:
+    return struct.pack(">I", len(data)) + typ + data + struct.pack(
+        ">I", zlib.crc32(typ + data) & 0xFFFFFFFF
+    )
+
+
+def _encode_png(px: np.ndarray, filters: list[int]) -> bytes:
+    """Minimal PNG encoder (test-side, independent arithmetic): px is
+    (h, w) grayscale or (h, w, 3) RGB uint8; filters gives the per-row
+    filter type (0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth)."""
+    if px.ndim == 2:
+        ctype, ch = 0, 1
+        flat = px[:, :, None]
+    else:
+        ctype, ch = 2, px.shape[2]
+        flat = px
+    h, w = flat.shape[:2]
+    raw = bytearray()
+    prev = np.zeros((w, ch), dtype=np.int32)
+    for y in range(h):
+        f = filters[y % len(filters)]
+        cur = flat[y].astype(np.int32)
+        out = np.zeros_like(cur)
+        for x in range(w):
+            for c in range(ch):
+                a = int(cur[x - 1, c]) if x >= 1 else 0
+                b = int(prev[x, c])
+                cc = int(prev[x - 1, c]) if x >= 1 else 0
+                if f == 0:
+                    pred = 0
+                elif f == 1:
+                    pred = a
+                elif f == 2:
+                    pred = b
+                elif f == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - cc
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                out[x, c] = (cur[x, c] - pred) % 256
+        raw.append(f)
+        raw.extend(out.astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("filters", [[0], [1], [2], [3], [4], [0, 1, 2, 3, 4]])
+def test_png_roundtrip_grayscale(filters):
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(9, 13), dtype=np.uint8)
+    assert np.array_equal(_decode_png(_encode_png(px, filters)), px)
+
+
+def test_png_roundtrip_rgb_averages_channels():
+    rng = np.random.default_rng(8)
+    px = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    got = _decode_png(_encode_png(px, [0, 4, 2]))
+    exp = (px.astype(np.uint32).sum(axis=2) // 3).astype(np.uint8)
+    assert np.array_equal(got, exp)
+
+
+def test_png_rejects_garbage():
+    with pytest.raises(ValueError):
+        _decode_png(b"not a png at all")
+
+
+def test_extract_features_real_mode(spark, monkeypatch):
+    """End-to-end: a real PNG payload flows through the mapInPandas feature
+    pipeline with INTUITION_MM_DECODE=real; features equal the pooling of the
+    TRUE pixels, not the stub's byte-derived fake."""
+    monkeypatch.setenv("INTUITION_MM_DECODE", "real")
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+    payload = _encode_png(px, [0, 1, 2, 3, 4])
+    media = spark.createDataFrame(
+        [("m0001", "image", "image/png", 8, 8, 0, bytearray(payload))], MEDIA_SCHEMA
+    )
+    rows = extract_features(media, feat_dim=16).collect()
+    assert len(rows) == 1
+    exp = np.resize(px.astype(np.float64).sum(axis=0), 16) / 256.0
+    got = np.asarray(rows[0]["feature"], dtype=np.float64)
+    assert np.allclose(got, exp)

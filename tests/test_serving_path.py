@@ -71,3 +71,23 @@ def test_multiterm_driver_expansion_matches_spark(engine):
         scan = engine.expand_dictionary("ws", pat, kind)
         assert cached is not None
         assert sorted(cached) == sorted(scan), (kind, pat)
+
+
+def test_refresh_is_lazy_and_cheap(engine):
+    """refresh() must return without re-running warm-up scans (the sharded
+    server refreshes N shards; eager re-warm cost N× startup). The caches
+    rebuild on the first query, and results stay correct."""
+    import time
+
+    q = Query("s_refresh", "and", [["braf"], ["v600e"]], k=10)
+    before = [(r["doc"], r["score"]) for r in engine.search(q).collect()]
+    t0 = time.time()
+    engine.refresh()
+    refresh_s = time.time() - t0
+    assert refresh_s < 0.2, f"refresh should defer warm-up, took {refresh_s:.2f}s"
+    assert engine._needs_warm  # warm-up deferred, not skipped
+    assert not engine._dict_cache and not engine._result_cache
+    after = [(r["doc"], r["score"]) for r in engine.search(q).collect()]
+    assert after == before
+    # first search re-warmed the ROUTED analyzer lazily; others stay pending
+    assert "standard" not in engine._needs_warm
