@@ -68,6 +68,20 @@ def test_embedding_near_duplicates(spark):
     assert {(r["a_id"], r["b_id"]) for r in out} == {(0, 1)}
 
 
+def test_embedding_near_duplicates_string_ids(spark):
+    """The bucketed GEMM verify preserves the generic id contract: string ids
+    order lexicographically and pairs come back (lo, hi)."""
+    rows = [
+        ("doc-b", [1.0, 0.0, 0.0, 0.0]),
+        ("doc-a", [0.999, 0.01, 0.0, 0.0]),
+        ("doc-c", [0.0, 1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "doc string, embedding array<float>")
+    out = dedup.embedding_near_duplicates(emb, id_col="doc", threshold=0.95).collect()
+    assert {(r["a_id"], r["b_id"]) for r in out} == {("doc-a", "doc-b")}
+    assert all(0.95 <= r["cosine"] <= 1.0 for r in out)
+
+
 def test_brute_force_topk_matches_numpy(spark):
     rng = np.random.default_rng(0)
     X = rng.normal(size=(200, 16)).astype(np.float32)
