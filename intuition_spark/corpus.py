@@ -172,4 +172,13 @@ def reference_queries(k: int = 10) -> list[Query]:
         qs.append(Query(f"wild_{i:02d}", "wildcard", [[w]], k=k))
     for i, t in enumerate(["braf", "spark", "w00150"]):
         qs.append(Query(f"tfsort_{i:02d}", "tf_sort", [[t]], k=k))
+    # fuzzy ~1 atoms (Q7) and field-qualified predicates (P7) — the two
+    # operator families added in round 3, kept in the latency set so their
+    # serving paths are benched alongside the original shapes
+    for i, t in enumerate(["spvrk", "quary", "indxe"]):
+        qs.append(Query(f"fuzzy_{i:02d}", "fuzzy", [[t]], k=k))
+    for i, (t, r) in enumerate(
+        [("spark", "assistant"), ("query", "user"), ("error", "assistant")]
+    ):
+        qs.append(Query(f"fieldq_{i:02d}", "term", [[t]], k=k, field_eq={"role": r}))
     return qs

@@ -92,6 +92,15 @@ class SearchEngine:
     # results are materialized LocalTableScans, so re-collect is ~free;
     # distributed plans re-execute on collect (cache still skips planning).
     RESULT_CACHE_MAX = int(os.environ.get("INTUITION_RESULT_CACHE_MAX", "256"))
+    # LRU fq cache (Solr filterCache analogue): each non-scoring metadata
+    # predicate (field_eq entry; require_no_tool) resolves ONCE to a sorted
+    # doc_id array, then is intersected into every scorer BEFORE the top-k
+    # cut — Solr fq semantics (filter, then rank). Like Solr's per-shard
+    # bitsets the arrays are bounded: a predicate matching more than
+    # FQ_MAX_IDS docs is marked oversize and its queries take the
+    # distributed exhaustive path (filter pushed into the docs join) instead.
+    FQ_CACHE_MAX = int(os.environ.get("INTUITION_FQ_CACHE_MAX", "64"))
+    FQ_MAX_IDS = int(os.environ.get("INTUITION_FQ_MAX_IDS", "2000000"))
 
     def __init__(
         self, spark: SparkSession, index_dirs: dict[str, str] | str, cache_dictionary: bool = True
@@ -109,6 +118,7 @@ class SearchEngine:
         self._block_cache: OrderedDict[tuple[str, str], pd.DataFrame] = OrderedDict()
         self._block_cache_postings = 0
         self._result_cache: OrderedDict[tuple, DataFrame] = OrderedDict()
+        self._fq_cache: OrderedDict[tuple, np.ndarray | None] = OrderedDict()
         self._postings_reader: dict[str, DataFrame] = {}
         self._docs_reader: dict[str, DataFrame] = {}
         self._tomb_cache: dict[tuple, np.ndarray] = {}
@@ -167,6 +177,7 @@ class SearchEngine:
         self._block_cache.clear()
         self._block_cache_postings = 0
         self._result_cache.clear()
+        self._fq_cache.clear()
         self._postings_reader.clear()
         self._docs_reader.clear()
         self._tomb_cache = {}
@@ -311,6 +322,58 @@ class SearchEngine:
             os.path.getmtime(tp) if os.path.exists(tp) else 0.0,
         )
 
+    def _fq_ids(self, a: str, q: Query) -> np.ndarray | None:
+        """Solr filterCache analogue: resolve the query's metadata predicates
+        (field_eq entries + require_no_tool) to ONE sorted doc_id array.
+
+        Each single predicate is cached (LRU, keyed with the on-disk index
+        state so incremental merges invalidate naturally); conjunctions
+        intersect the cached arrays. Resolution uses the in-memory doc cache
+        when present (zero Spark jobs), else one pushdown-filtered scan of
+        the docs store. Returns None when any predicate matches more than
+        FQ_MAX_IDS docs — the per-shard bound that keeps the driver's memory
+        O(selective predicates), exactly Solr's maxDoc-bounded filterCache
+        bitsets; the caller must then use the distributed filtered path.
+        """
+        preds: list[tuple[str, str | None]] = sorted((q.field_eq or {}).items())
+        if q.require_no_tool:
+            preds.append(("tool", None))  # tool IS NULL
+        out: np.ndarray | None = None
+        state = self._index_state(a)
+        for fcol, fval in preds:
+            key = (a, fcol, fval, state)
+            if key not in self._fq_cache:
+                cached_docs = self._doc_cache.get(a)
+                if cached_docs is not None:
+                    col = cached_docs[fcol]
+                    mask = col.isna() if fval is None else (col == fval)
+                    ids = cached_docs.index.to_numpy()[mask.to_numpy()]
+                    ids = None if ids.size > self.FQ_MAX_IDS else np.sort(
+                        ids.astype(np.int64)
+                    )
+                else:
+                    cond = (
+                        F.col(fcol).isNull() if fval is None
+                        else F.col(fcol) == F.lit(fval)
+                    )
+                    pdf = (
+                        self._docs(a).filter(cond).select("doc_id")
+                        .limit(self.FQ_MAX_IDS + 1).toPandas()
+                    )
+                    ids = None if len(pdf) > self.FQ_MAX_IDS else np.sort(
+                        pdf["doc_id"].to_numpy().astype(np.int64)
+                    )
+                self._fq_cache[key] = ids
+                while len(self._fq_cache) > self.FQ_CACHE_MAX:
+                    self._fq_cache.popitem(last=False)
+            else:
+                self._fq_cache.move_to_end(key)
+            ids = self._fq_cache[key]
+            if ids is None:
+                return None
+            out = ids if out is None else np.intersect1d(out, ids, assume_unique=True)
+        return out
+
     def search(self, q: Query, mode: str = "auto") -> DataFrame:
         a = self._route(q)
         self._ensure_warm(a)
@@ -326,42 +389,63 @@ class SearchEngine:
         return out
 
     def _search_uncached(self, q: Query, a: str, mode: str) -> DataFrame:
-        has_filter = (
-            q.filter_docs is not None or q.ts_after is not None
-            or q.require_no_tool or bool(q.field_eq)
-        )
+        # fq predicates split two ways (Solr semantics: ALL filter before
+        # ranking). field_eq / require_no_tool resolve through the
+        # filterCache into an `included` id array the scorers intersect
+        # BEFORE any top-k cut — fast-path- and WAND-compatible.
+        # filter_docs / ts_after (doc-list and range shapes) stay
+        # distributed-only: they route to the exhaustive path, where the
+        # predicate lands in the docs join before the global ordering.
+        dist_filter = q.filter_docs is not None or q.ts_after is not None
+        fq_preds = bool(q.field_eq) or q.require_no_tool
+        has_filter = dist_filter or fq_preds
+        included: np.ndarray | None = None
+        fq_ok = False
+        if fq_preds and not dist_filter:
+            included = self._fq_ids(a, q)
+            fq_ok = included is not None  # None = predicate oversize
+            if fq_ok and included.size == 0:
+                return self._empty_hits()
+        fast_ok = not has_filter or fq_ok
         ex_terms = self._exclude_terms(q, a)
         if q.kind in ("wildcard", "regex", "fuzzy"):
             return self._search_multiterm(
-                q, a, driver_ok=(mode == "auto" and not has_filter), ex_terms=ex_terms
+                q, a, driver_ok=(mode == "auto" and fast_ok), ex_terms=ex_terms,
+                included=included,
             )
         if q.kind == "tf_sort":
-            if mode == "auto" and not has_filter:
+            if mode == "auto" and fast_ok:
                 term = analyze_text(q.groups[0][0], a)[0][0]
                 if self._small_enough(a, [term] + ex_terms):
-                    return self._driver_tf_sort(q, a, term, self._excluded_ids(a, ex_terms))
+                    return self._driver_tf_sort(
+                        q, a, term, self._excluded_ids(a, ex_terms), included=included
+                    )
             return self._search_tf_sort(q, a, ex_terms)
         atoms = self._parse_atoms(q, a)
         if not atoms:
             return self._empty_hits()
         has_phrase = any(len(at.terms) > 1 for at in atoms)
-        if mode == "auto" and not has_filter:
+        if mode == "auto" and fast_ok:
             terms = sorted({t for at in atoms for t in at.terms})
             if self._small_enough(a, terms + ex_terms, positional=has_phrase):
                 excluded = self._excluded_ids(a, ex_terms)
                 if has_phrase:
-                    return self._driver_exhaustive(q, a, atoms, excluded)
-                return self._driver_wand(q, a, atoms, excluded)
+                    return self._driver_exhaustive(q, a, atoms, excluded, included=included)
+                return self._driver_wand(q, a, atoms, excluded, included=included)
         # WAND applies MUST_NOT inside the scorer (before per-segment top-k),
         # which needs the excluded ids driver-side — only safe when the
         # excluded postings are small; a head-term exclusion routes to the
-        # exhaustive path's distributed anti-join instead.
+        # exhaustive path's distributed anti-join instead. Likewise fq
+        # predicates must reach the scorer as `included` ids: a filtered
+        # query whose predicate can't resolve to a bounded id array
+        # (dist_filter shapes, oversize field_eq) takes the exhaustive path
+        # even under an explicit mode="wand" — the mode is an optimization
+        # hint and never changes result semantics.
         small_ex = not ex_terms or self._small_enough(a, ex_terms)
-        if (mode == "wand" and small_ex) or (
-            mode == "auto" and not has_phrase and not has_filter and small_ex
-        ):
+        if (mode in ("wand", "auto") and not has_phrase and small_ex and fast_ok):
             return self._search_wand(
-                q, a, atoms, prune=True, excluded=self._excluded_ids(a, ex_terms)
+                q, a, atoms, prune=True, excluded=self._excluded_ids(a, ex_terms),
+                included=included,
             )
         return self._search_exhaustive(q, a, atoms, ex_terms)
 
@@ -503,7 +587,8 @@ class SearchEngine:
         )
 
     def _driver_wand(
-        self, q: Query, a: str, atoms: list[_Atom], excluded: np.ndarray | None = None
+        self, q: Query, a: str, atoms: list[_Atom], excluded: np.ndarray | None = None,
+        included: np.ndarray | None = None,
     ) -> DataFrame:
         """Small-query WAND on the driver: same scorer, same blocks, no
         shuffle. Latency = postings point-scan + docs point-scan."""
@@ -515,7 +600,8 @@ class SearchEngine:
         if excluded is None:
             excluded = self._tombstones(a)
         scorer = wand.make_segment_scorer(
-            meta, n_groups, q.k, avgdl, prune=True, excluded=excluded
+            meta, n_groups, q.k, avgdl, prune=True, excluded=excluded,
+            included=included,
         )
         # One scoring call PER SEGMENT, not one global call: the scorer's
         # k-boundary heap tie-breaks by doc_id, which equals the canonical
@@ -534,7 +620,8 @@ class SearchEngine:
         return self._driver_hydrate(cand, q)
 
     def _driver_tf_sort(
-        self, q: Query, a: str, term: str, excluded: np.ndarray | None = None
+        self, q: Query, a: str, term: str, excluded: np.ndarray | None = None,
+        included: np.ndarray | None = None,
     ) -> DataFrame:
         pdf = self._collect_blocks(a, [term])
         if pdf.empty:
@@ -550,6 +637,9 @@ class SearchEngine:
         if excluded.size:
             keep = ~np.isin(docs, excluded)
             docs, tfs = docs[keep], tfs[keep]
+        if included is not None:  # fq intersection BEFORE the k cut
+            keep = np.isin(docs, included, assume_unique=False)
+            docs, tfs = docs[keep], tfs[keep]
         if docs.size == 0:
             return self._empty_hits()
         order = np.argsort(-tfs, kind="stable")
@@ -562,7 +652,8 @@ class SearchEngine:
         return self._driver_hydrate(cand, q, order=("score", "ts"))
 
     def _driver_exhaustive(
-        self, q: Query, a: str, atoms: list[_Atom], excluded: np.ndarray | None = None
+        self, q: Query, a: str, atoms: list[_Atom], excluded: np.ndarray | None = None,
+        included: np.ndarray | None = None,
     ) -> DataFrame:
         """Small-query exhaustive scoring (incl. phrase/proximity positional
         matching) on the driver — same block decode, same sloppy-phrase
@@ -627,6 +718,8 @@ class SearchEngine:
             excluded = self._tombstones(a)
         if excluded.size:
             agg = agg[~agg.index.isin(excluded)]
+        if included is not None:  # fq intersection BEFORE the k cut
+            agg = agg[agg.index.isin(included)]
         if agg.empty:
             return self._empty_hits()
         cand = agg.reset_index()[["doc_id", "score"]].sort_values(
@@ -678,7 +771,7 @@ class SearchEngine:
 
     def _search_wand(
         self, q: Query, a: str, atoms: list[_Atom], prune: bool,
-        excluded: np.ndarray | None = None,
+        excluded: np.ndarray | None = None, included: np.ndarray | None = None,
     ) -> DataFrame:
         meta, n_groups = self._term_meta(a, atoms)
         avgdl = self.stats[a]["avgdl"]
@@ -688,8 +781,13 @@ class SearchEngine:
         )
         if excluded is None:
             excluded = self._tombstones(a)
+        # `included` (filterCache fq ids) reaches the scorer so the filter
+        # applies BEFORE each segment's top-k — without it a filtered
+        # per-segment top-k would drop docs the predicate keeps but the
+        # unfiltered ranking cuts (Solr fq semantics: filter, then rank).
         scorer = wand.make_segment_scorer(
-            meta, n_groups, q.k, avgdl, prune=prune, excluded=excluded
+            meta, n_groups, q.k, avgdl, prune=prune, excluded=excluded,
+            included=included,
         )
         out_schema = T.StructType(
             [T.StructField("doc_id", T.LongType()), T.StructField("score", T.DoubleType())]
@@ -817,7 +915,7 @@ class SearchEngine:
 
     def _search_multiterm(
         self, q: Query, a: str, driver_ok: bool = False,
-        ex_terms: list[str] | None = None,
+        ex_terms: list[str] | None = None, included: np.ndarray | None = None,
     ) -> DataFrame:
         """Q5/Q6/Q7: dictionary expansion → constant-score union (Lucene
         CONSTANT_SCORE multi-term rewrite, the Solr 8 default)."""
@@ -827,7 +925,9 @@ class SearchEngine:
         if driver_ok:
             terms = self._expand_cached(a, pattern, q.kind)
             if terms is not None and self._small_enough(a, terms + ex_terms):
-                return self._driver_multiterm(q, a, terms, self._excluded_ids(a, ex_terms))
+                return self._driver_multiterm(
+                    q, a, terms, self._excluded_ids(a, ex_terms), included=included
+                )
         if terms is None:
             terms = self.expand_dictionary(a, pattern, q.kind)
         if not terms:
@@ -838,7 +938,8 @@ class SearchEngine:
         return self._finalize(scored, q, a)
 
     def _driver_multiterm(
-        self, q: Query, a: str, terms: list[str], excluded: np.ndarray | None = None
+        self, q: Query, a: str, terms: list[str], excluded: np.ndarray | None = None,
+        included: np.ndarray | None = None,
     ) -> DataFrame:
         if not terms:
             return self._empty_hits()
@@ -854,6 +955,8 @@ class SearchEngine:
             excluded = self._tombstones(a)
         if excluded.size:
             docs = docs[~np.isin(docs, excluded)]
+        if included is not None:  # fq intersection BEFORE the k cut
+            docs = docs[np.isin(docs, included, assume_unique=True)]
         # constant score → the k-boundary is decided purely by (conv, turn);
         # doc_id order is (seg-major) not conv order, so the whole candidate
         # set needs the conv/turn sort. With the driver doc cache present

@@ -122,6 +122,7 @@ def score_segment_topk(
     avgdl: float,
     prune: bool = True,
     excluded: np.ndarray | None = None,
+    included: np.ndarray | None = None,
     stats: dict | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Top-k (doc_ids, scores) for one segment. With prune=False this is the
@@ -198,6 +199,14 @@ def score_segment_topk(
             cand = cand[~np.isin(cand, excluded, assume_unique=False)]
             if cand.size == 0:
                 continue
+        if included is not None:
+            # fq intersection (filterCache ids) BEFORE the heap: Solr fq
+            # semantics rank only filtered docs. Pruning stays valid —
+            # removing candidates only lowers the threshold's growth, every
+            # skipped range's upper bound still upper-bounds its docs.
+            cand = cand[np.isin(cand, included, assume_unique=False)]
+            if cand.size == 0:
+                continue
         total = np.zeros(cand.size, np.float64)
         for uniq, sums in per_group:
             idx = np.searchsorted(uniq, cand)
@@ -231,11 +240,15 @@ def make_segment_scorer(
     avgdl: float,
     prune: bool,
     excluded: np.ndarray | None = None,
+    included: np.ndarray | None = None,
 ):
     """applyInPandas fn over seg: block rows → local top-k (doc_id, score).
 
     term_meta: term -> (gid, idf) — broadcast-small, closed over.
     excluded: sorted int64 doc_ids (tombstones) to skip, broadcast-small.
+    included: sorted int64 fq doc_ids (filterCache) — when set, ONLY these
+    docs may enter the heap (the per-segment top-k is the top-k of the
+    FILTERED doc set, Solr fq semantics). Bounded by FQ_MAX_IDS engine-side.
     """
 
     def scorer(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -261,7 +274,9 @@ def make_segment_scorer(
                     ns=tdf["n"].to_numpy(np.int64),
                 )
             )
-        docs, scores = score_segment_topk(tbs, n_groups, k, avgdl, prune=prune, excluded=excluded)
+        docs, scores = score_segment_topk(
+            tbs, n_groups, k, avgdl, prune=prune, excluded=excluded, included=included
+        )
         return pd.DataFrame({"doc_id": docs, "score": scores})
 
     return scorer

@@ -90,6 +90,22 @@ def test_wildcard_queries(engine, oracle_ix, qid):
     _run_and_compare(engine, oracle_ix, QUERIES[qid], "auto")
 
 
+@pytest.mark.parametrize("qid", ["fuzzy_00", "fuzzy_01", "fuzzy_02"])
+def test_fuzzy_queries_from_reference_set(engine, oracle_ix, qid):
+    _run_and_compare(engine, oracle_ix, QUERIES[qid], "auto")
+
+
+@pytest.mark.parametrize("qid", ["fieldq_00", "fieldq_01", "fieldq_02"])
+def test_fieldq_queries_from_reference_set(engine, oracle_ix, qid):
+    _run_and_compare(engine, oracle_ix, QUERIES[qid], "exhaustive")
+    _run_and_compare(engine, oracle_ix, QUERIES[qid], "auto")  # driver fast path
+    # explicit wand must apply the fq BEFORE the per-segment top-k (Solr fq
+    # semantics) — regression for the filterCache fix; pre-fix this path
+    # filtered after the cut and dropped/invented hits
+    engine._result_cache.clear()
+    _run_and_compare(engine, oracle_ix, QUERIES[qid], "wand")
+
+
 @pytest.mark.parametrize("qid", ["tfsort_00", "tfsort_01"])
 def test_tf_sort_queries(engine, oracle_ix, qid):
     q = QUERIES[qid]
