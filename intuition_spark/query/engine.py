@@ -635,10 +635,10 @@ class SearchEngine:
         if excluded is None:
             excluded = self._tombstones(a)
         if excluded.size:
-            keep = ~np.isin(docs, excluded)
+            keep = ~wand.in_sorted(docs, excluded)
             docs, tfs = docs[keep], tfs[keep]
         if included is not None:  # fq intersection BEFORE the k cut
-            keep = np.isin(docs, included, assume_unique=False)
+            keep = wand.in_sorted(docs, included)
             docs, tfs = docs[keep], tfs[keep]
         if docs.size == 0:
             return self._empty_hits()
@@ -954,9 +954,9 @@ class SearchEngine:
         if excluded is None:
             excluded = self._tombstones(a)
         if excluded.size:
-            docs = docs[~np.isin(docs, excluded)]
+            docs = docs[~wand.in_sorted(docs, excluded)]
         if included is not None:  # fq intersection BEFORE the k cut
-            docs = docs[np.isin(docs, included, assume_unique=True)]
+            docs = docs[wand.in_sorted(docs, included)]
         # constant score → the k-boundary is decided purely by (conv, turn);
         # doc_id order is (seg-major) not conv order, so the whole candidate
         # set needs the conv/turn sort. With the driver doc cache present
