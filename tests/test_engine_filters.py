@@ -185,3 +185,62 @@ def test_field_eq_via_parser(setup):
 def test_field_eq_unknown_field_rejected(setup):
     with pytest.raises(ValueError):
         Query("f_bad", "term", [["spark"]], field_eq={"nope": "x"})
+
+
+def test_mode_identity_randomized_fq_sweep(setup):
+    """Seeded randomized sweep: every query shape × fq combination must
+    return identical ranked hits under auto (driver fast path), wand, and
+    exhaustive modes, all rank-identical to the pure-Python oracle. This is
+    the regression net for the r3 filterCache fix — pre-fix, mode="wand"
+    applied fq AFTER the per-segment top-k and failed 11/30 of exactly this
+    sweep shape (dropped hits, one false-empty)."""
+    import random
+
+    eng, oracles, rows = setup
+    rng = random.Random(20260817)
+    post = oracles["standard"].postings
+    by_df = sorted(post, key=lambda t: -len(post[t]))
+    head, mid = by_df[:10], [t for t in by_df if 5 <= len(post[t]) <= 50]
+    roles = sorted({r["role"] for r in rows if r.get("role")})
+    ts_sorted = sorted(r["ts"] for r in rows)
+
+    def pick_terms(n):
+        pool = head if rng.random() < 0.5 else mid
+        return rng.sample(pool, n)
+
+    for i in range(24):
+        kind = rng.choice(["term", "and", "or_groups", "phrase", "wildcard"])
+        if kind == "term":
+            groups = [pick_terms(1)]
+        elif kind == "and":
+            groups = [[t] for t in pick_terms(2)]
+        elif kind == "or_groups":
+            groups = [pick_terms(2), pick_terms(2)]
+        elif kind == "phrase":
+            groups = [pick_terms(2)]
+        else:  # wildcard: prefix of a mid term
+            t = rng.choice(mid)
+            groups = [[t[: max(2, len(t) - 2)] + "*"]]
+        fq = rng.randrange(6)
+        kw = {}
+        if fq in (1, 3, 5):
+            kw["field_eq"] = {"role": rng.choice(roles)}
+        if fq in (2, 3):
+            kw["require_no_tool"] = True
+        if fq in (4, 5):
+            kw["ts_after"] = ts_sorted[len(ts_sorted) // 3]
+        if rng.random() < 0.25:
+            kw["exclude"] = [rng.choice(mid)]
+        q = Query(f"sweep_{i:02d}", kind, groups,
+                  slop=2 if kind == "phrase" and rng.random() < 0.5 else 0,
+                  k=rng.choice([3, 10, 25]), **kw)
+        exp = oracle_search(oracles["standard"], q)
+        for mode in ("auto", "wand", "exhaustive"):
+            eng._result_cache.clear()
+            got = [(r["doc"], r["score"]) for r in eng.search(q, mode=mode).collect()]
+            assert [d for d, _ in got] == [d for d, _ in exp], (
+                f"sweep_{i:02d} [{mode}] {kind} fq={fq} kw={kw}: "
+                f"{[d for d, _ in got]} vs {[d for d, _ in exp]}"
+            )
+            for (gd, gs), (ed, es) in zip(got, exp):
+                assert abs(gs - es) < 1e-6, f"sweep_{i:02d} [{mode}] score {gs} vs {es}"
