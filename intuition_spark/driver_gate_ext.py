@@ -1079,27 +1079,40 @@ def _kmer_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _kmer_vote_counts(spark: SparkSession, post: DataFrame, pairs: list[tuple[str, int]], n_j: int) -> DataFrame:
+    """(doc_id, n_matches) via ONE postings scan + a broadcast (kmer, j)
+    vote map: every posting whose k-mer appears in the map votes for
+    base = pos - j (once per j it maps to); a base where all n_j query
+    k-mers voted is a match. The previous shape scanned the postings once
+    PER query k-mer (16 scans for a 20-char query) — at 10^12-turn scale
+    the postings scan dominates and must run once regardless of query
+    length. A repeated query k-mer is two map rows for the same string, so
+    vote multiplicity is preserved exactly."""
+    # set-dedupe: (kmer, j1) and (kmer, j2) both survive (distinct j = the
+    # repeated-k-mer votes), while an accidental duplicate pair would
+    # double-vote one j under the join (the old isin had set semantics)
+    mapdf = spark.createDataFrame(sorted(set(pairs)), "kmer string, j int")
+    votes = (
+        post.filter(F.col("kmer").isin(sorted({k for k, _ in pairs})))
+        .join(F.broadcast(mapdf), "kmer")
+        .select("doc_id", (F.col("pos") - F.col("j")).alias("base"))
+    )
+    bases = (
+        votes.groupBy("doc_id", "base")
+        .agg(F.count("*").alias("nk"))
+        .filter(F.col("nk") == n_j)
+    )
+    return bases.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_matches"))
+
+
 def _kmer_match_counts(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
     """(doc_id, n_matches) for all (overlapping) occurrences of `query` via
     the cached k-mer index: each query k-mer j contributes candidate base
     positions (pos - j); a base where ALL k-mers agree is a match."""
     qk = [query[i : i + _K] for i in range(len(query) - _K + 1)]
-    post = _kmer_index(spark, sf_dir).filter(F.col("kmer").isin(qk))
-    parts = [
-        post.filter(F.col("kmer") == k).select(
-            "doc_id", (F.col("pos") - j).alias("base"), F.lit(j).alias("j")
-        )
-        for j, k in enumerate(qk)
-    ]
-    allp = parts[0]
-    for p in parts[1:]:
-        allp = allp.unionByName(p)
-    bases = (
-        allp.groupBy("doc_id", "base")
-        .agg(F.count("*").alias("nk"))
-        .filter(F.col("nk") == len(qk))
+    return _kmer_vote_counts(
+        spark, _kmer_index(spark, sf_dir), [(k, j) for j, k in enumerate(qk)], len(qk)
     )
-    return bases.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_matches"))
 
 
 def _d_overlap_count(s_expr: str, query: str) -> str:
@@ -1197,22 +1210,8 @@ def _kmer_fuzzy_match_counts(spark: SparkSession, sf_dir: str, query: str) -> Da
     for base = pos - j, and a base where all k-mers voted is a match. The
     doc k-mer at any position is unique, so votes need no dedupe."""
     qk = [query[i : i + _K] for i in range(len(query) - _K + 1)]
-    post = _kmer_index(spark, sf_dir)
-    parts = [
-        post.filter(F.col("kmer").isin(_hamming1_neighbors(k))).select(
-            "doc_id", (F.col("pos") - j).alias("base"), F.lit(j).alias("j")
-        )
-        for j, k in enumerate(qk)
-    ]
-    allp = parts[0]
-    for p in parts[1:]:
-        allp = allp.unionByName(p)
-    bases = (
-        allp.groupBy("doc_id", "base")
-        .agg(F.count("*").alias("nk"))
-        .filter(F.col("nk") == len(qk))
-    )
-    return bases.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_matches"))
+    pairs = [(v, j) for j, k in enumerate(qk) for v in _hamming1_neighbors(k)]
+    return _kmer_vote_counts(spark, _kmer_index(spark, sf_dir), pairs, len(qk))
 
 
 def _d_fuzzy_base_cond(query: str) -> str:
