@@ -175,13 +175,26 @@ def score_segment_topk(
         if any(u <= 0.0 for u in ubs):  # a required group can't match here
             continue
         scored_ranges.append((sum(ubs), lo, hi))
-    scored_ranges.sort(reverse=True)
+    # ub DESC, lo ASC: equal-impact ranges must be visited smallest-doc
+    # first — the final rank tie-break is doc_id ASC, so among exact score
+    # ties the SMALLEST doc ids win and they must enter the heap before the
+    # threshold skip fires (a corpus of duplicated docs makes every score
+    # identical; descending-lo order returned the LARGEST ids pre-fix).
+    scored_ranges.sort(key=lambda r: (-r[0], r[1]))
 
     heap: list[tuple[float, int]] = []  # (score, -doc) min-heap of top-k
     n_scored = 0
     for ub, lo, hi in scored_ranges:
-        if prune and len(heap) >= k and ub <= heap[0][0]:
-            break  # impact-ordered: no remaining range can beat the threshold
+        if prune and len(heap) >= k:
+            th = heap[0][0]
+            # Strict skip on ub < threshold. At ub == threshold a range can
+            # still hold a doc scoring exactly threshold that WINS the
+            # doc_id tie-break, so it is skippable only when every doc in it
+            # (all ≥ lo) already loses to the heap's worst-at-threshold doc
+            # (-heap[0][1]). Ranges are (ub desc, lo asc)-ordered, so the
+            # first skippable range implies all later ones are too.
+            if ub < th or (ub == th and lo > -heap[0][1]):
+                break
         n_scored += 1
         # exact evaluation of the range
         cand: np.ndarray | None = None

@@ -82,3 +82,42 @@ def test_or_query_pruning(skewed_terms):
     assert np.array_equal(d1, d2)
     assert np.allclose(sc1, sc2)
     assert s_prune["ranges_scored"] < s_full["ranges_scored"]
+
+
+def test_tie_boundary_canonical_docids():
+    """Exact score ties across blocks: the per-segment top-k must be the
+    SMALLEST doc ids (rank tie-break is doc_id asc). Pre-r3-fix, equal-ub
+    ranges were visited largest-lo first and skipped at ub == threshold, so
+    a corpus of duplicated docs returned the LARGEST ids under pruning."""
+    n = 2000
+    docs = np.arange(n, dtype=np.int64)
+    tfs = np.ones(n, dtype=np.int64)
+    dls = np.full(n, 4, dtype=np.int64)  # identical docs -> identical scores
+    for k in (1, 7, 13, 128, 300):
+        tb = [_make_term_blocks("dup", 0, 1.3, docs, tfs, dls)]
+        d_p, s_p = score_segment_topk(tb, 1, k, AVGDL, prune=True)
+        tb2 = [_make_term_blocks("dup", 0, 1.3, docs, tfs, dls)]
+        d_f, s_f = score_segment_topk(tb2, 1, k, AVGDL, prune=False)
+        assert np.array_equal(np.sort(d_p), np.arange(k)), f"k={k}: {np.sort(d_p)[:5]}"
+        assert np.array_equal(np.sort(d_p), np.sort(d_f))
+        assert np.allclose(np.sort(s_p), np.sort(s_f))
+
+
+def test_tie_boundary_partial_ties():
+    """k boundary inside a tie plateau that spans a block edge: the plateau
+    members with the smallest ids must win, even when a higher-scoring block
+    fills the heap first."""
+    rng = np.random.default_rng(7)
+    n = 1500
+    docs = np.arange(n, dtype=np.int64)
+    # docs 0..999 identical mid score; docs 1000..1499 higher varied scores
+    tfs = np.concatenate([np.ones(1000), rng.integers(3, 9, 500)]).astype(np.int64)
+    dls = np.concatenate([np.full(1000, 80), np.full(500, 60)]).astype(np.int64)
+    k = 520  # 500 high scorers + first 20 of the tie plateau
+    tb = [_make_term_blocks("t", 0, 2.0, docs, tfs, dls)]
+    d_p, _ = score_segment_topk(tb, 1, k, AVGDL, prune=True)
+    tb2 = [_make_term_blocks("t", 0, 2.0, docs, tfs, dls)]
+    d_f, _ = score_segment_topk(tb2, 1, k, AVGDL, prune=False)
+    assert np.array_equal(np.sort(d_p), np.sort(d_f))
+    plateau = np.sort(d_p)[np.sort(d_p) < 1000]
+    assert np.array_equal(plateau, np.arange(plateau.size)), "smallest tie ids must win"
