@@ -109,3 +109,39 @@ def test_block_cache_invalidated_by_refresh(spark, tmp_root):
     eng.refresh()
     hits = eng.search(q).collect()
     assert len(hits) == len(delta)
+
+
+def test_fq_cache_respects_merge_without_refresh(spark, tmp_root):
+    """The r3 filterCache (predicate -> doc_id array) is keyed with the
+    on-disk index state, like the result cache: after merge_delta tombstones
+    a doc, a REPEATED fq query must stop serving the superseded version and
+    surface the new one, even with refresh() never called."""
+    import pandas as pd
+    import pyarrow as pa
+
+    tbl = generate_transcripts(400, max_tokens=30).to_pandas()
+    base = tbl.iloc[:300].copy()
+    base.loc[base.index[:40], "text"] = "fqmarker alpha " + base["turn_idx"].astype(str)
+    # supersede 10 of the marked turns: new text WITHOUT the marker
+    upd = base.iloc[:10].copy()
+    upd["text"] = "replaced content nothing here"
+    base_src = os.path.join(tmp_root, "fq_base.parquet")
+    delta_src = os.path.join(tmp_root, "fq_delta.parquet")
+    pq.write_table(pa.Table.from_pandas(base, preserve_index=False), base_src)
+    pq.write_table(pa.Table.from_pandas(upd, preserve_index=False), delta_src)
+
+    ix = os.path.join(tmp_root, "ix_fqinc")
+    build_index(spark, spark.read.parquet(base_src), ix, analyzer="standard", n_segments=2)
+    eng = SearchEngine(spark, {"standard": ix})
+    roles = sorted(set(base.iloc[:40]["role"]))
+    qs = [Query(f"fqi_{r}", "term", [["fqmarker"]], k=100, field_eq={"role": r})
+          for r in roles]
+    pre = {q.query_id: {x["doc"] for x in eng.search(q, mode="wand").collect()} for q in qs}
+    assert sum(len(v) for v in pre.values()) == 40  # all marked turns, role-partitioned
+
+    merge_delta(spark, IndexPaths(ix), spark.read.parquet(delta_src))
+    superseded = {f"{r.conv_id}:{r.turn_idx}" for r in upd.itertuples(index=False)}
+    post = {q.query_id: {x["doc"] for x in eng.search(q, mode="wand").collect()} for q in qs}
+    got_all = set().union(*post.values())
+    assert not (got_all & superseded), "tombstoned docs surfaced through the fq cache"
+    assert sum(len(v) for v in post.values()) == 30
