@@ -31,19 +31,13 @@ BENCH_TURNS = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "400000"))
 
 
 def _host_probe(widths: tuple[int, ...]) -> dict[str, float]:
-    """Constant-work per-process probe (scripts/host_probe.py methodology):
-    flat times across widths = healthy box; growth = VM core throttling.
-    Recorded in the bench line so a throttled run is self-identifying."""
-    import multiprocessing as mp
+    """Constant-work per-process probe: flat times across widths = healthy
+    box; growth = VM core throttling. Recorded in the bench line so a
+    throttled run is self-identifying. Single implementation lives in
+    scripts/host_probe.py — the CLI and this recording can't drift."""
+    from scripts.host_probe import probe
 
-    from scripts.host_probe import work
-
-    out = {}
-    for n in widths:
-        with mp.Pool(n) as p:
-            ts = p.map(work, range(n))
-        out[str(n)] = round(sum(ts) / len(ts), 3)
-    return out
+    return probe(widths)
 
 
 def _quantile(xs: list[float], q: float) -> float:
@@ -101,13 +95,18 @@ def run_engine_bench(spark, workdir: str) -> dict:
     # Second pass with the query-result cache CLEARED (so every query
     # re-executes): per-query min across the two passes = steady-state
     # latency with run-to-run VM noise halved. Pass-1 numbers stay the
-    # headline for round-over-round comparability.
+    # headline for round-over-round comparability — including kind_p50
+    # (kind_p50_steady carries the two-pass mins). Kinds are keyed by
+    # query_id family so fieldq/fuzzy report separately from plain term.
     eng._result_cache.clear()
     lat2 = one_pass()
     steady = [min(a, b) for a, b in zip(lat, lat2)]
     per_kind: dict[str, list[float]] = {}
-    for q, dt in zip(queries, steady):
-        per_kind.setdefault(q.query_id.rsplit("_", 1)[0], []).append(dt)
+    per_kind_steady: dict[str, list[float]] = {}
+    for q, d1, d2 in zip(queries, lat, steady):
+        fam = q.query_id.rsplit("_", 1)[0]
+        per_kind.setdefault(fam, []).append(d1)
+        per_kind_steady.setdefault(fam, []).append(d2)
 
     # sequential serving throughput; in-driver concurrency anti-scales on
     # py4j/GIL, so a real deployment shards query serving across processes
@@ -126,6 +125,9 @@ def run_engine_bench(spark, workdir: str) -> dict:
         "query_qps_sequential": qps,
         "n_queries": len(lat),
         "kind_p50": {k: round(_quantile(v, 0.5), 3) for k, v in per_kind.items()},
+        "kind_p50_steady": {
+            k: round(_quantile(v, 0.5), 3) for k, v in per_kind_steady.items()
+        },
     }
 
 

@@ -46,27 +46,32 @@ def documents_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def get_documents_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
-    src = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(src)
+    from intuition_spark.driver_gate import publish_atomically, tmp_cache_path
     from intuition_spark.index.builder import LAYOUT_VERSION
 
-    key = (
-        f"{os.path.basename(os.path.normpath(sf_dir))}_{st.st_size}_{int(st.st_mtime)}"
-        f"_v{LAYOUT_VERSION}d{_DOCS_VARIANT}"
+    ix_dir = tmp_cache_path(
+        "ix_ws",
+        os.path.join(sf_dir, "documents.parquet"),
+        f"v{LAYOUT_VERSION}d{_DOCS_VARIANT}",
     )
-    if key in _ENGINES:
-        return _ENGINES[key]
-    ix_dir = f"/tmp/intuition_spark_gate/ix_ws_{key}"
-    if not os.path.exists(os.path.join(ix_dir, "stats.json")):
-        build_index(
+    if ix_dir in _ENGINES:
+        return _ENGINES[ix_dir]
+    # atomic publish (tmp build + rename): concurrent gate/serve processes
+    # either win the rename or discard scratch; an interrupted build can
+    # never squat the path with a partial index (stats.json is the marker)
+    publish_atomically(
+        ix_dir,
+        lambda tmp: build_index(
             spark,
             documents_as_transcripts(spark, sf_dir),
-            ix_dir,
+            tmp,
             analyzer="ws",
             n_segments=4,
-        )
+        ),
+        marker="stats.json",
+    )
     eng = SearchEngine(spark, {"ws": ix_dir})
-    _ENGINES[key] = eng
+    _ENGINES[ix_dir] = eng
     return eng
 
 

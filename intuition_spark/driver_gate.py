@@ -59,6 +59,42 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
 
 
+def tmp_cache_path(prefix: str, src: str, *extra) -> str:
+    """Shared /tmp cache path keyed by sha1(abspath) + size + mtime of the
+    source file plus caller tokens. The path hash makes basename collisions
+    impossible (two corpora named sf0.001 with equal size+mtime, ADVICE r2);
+    size+mtime invalidate naturally when the source is regenerated."""
+    import hashlib
+
+    src = os.path.abspath(src)
+    st = os.stat(src)
+    ph = hashlib.sha1(src.encode()).hexdigest()[:10]
+    tokens = "".join(f"_{e}" for e in extra)
+    return f"/tmp/intuition_spark_gate/{prefix}_{ph}_{st.st_size}_{int(st.st_mtime)}{tokens}"
+
+
+def publish_atomically(path: str, write_fn, marker: str = "_SUCCESS") -> None:
+    """Build via write_fn(tmp_dir), then publish with ONE os.rename — readers
+    never observe a partial directory, and concurrent builders either win the
+    rename or discard their scratch. A rename failure is treated as a lost
+    race ONLY if a complete publication (marker file) actually exists;
+    anything else (EXDEV, permissions, a stale partial dir squatting on the
+    path) re-raises instead of silently serving broken data."""
+    if os.path.exists(os.path.join(path, marker)):
+        return
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}_build_{os.getpid()}"
+    write_fn(tmp)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(os.path.join(path, marker)):
+            raise
+
+
 def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, term, pos) — ws tokenization of documents; Catalyst prunes to
     (doc_id, text) at the scan."""

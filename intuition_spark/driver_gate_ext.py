@@ -1037,45 +1037,34 @@ def _kmer_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     written sorted by kmer so parquet row-group min/max stats prune each
     query's IN-filter to a handful of row groups. At 100 TB this table is
     partitioned by kmer prefix; queries touch only their k-mers' partitions."""
-    import hashlib
+    from intuition_spark.driver_gate import publish_atomically, tmp_cache_path
 
-    src = os.path.abspath(os.path.join(sf_dir, "documents.parquet"))
-    st = os.stat(src)
-    # key includes a hash of the ABSOLUTE path: two corpora sharing basename +
-    # size + mtime must not collide in the shared /tmp cache (ADVICE r2)
-    ph = hashlib.sha1(src.encode()).hexdigest()[:10]
-    key = f"{ph}_{st.st_size}_{int(st.st_mtime)}_k{_K}"
-    path = f"/tmp/intuition_spark_gate/kmer_{key}"
-    if key not in _KMER_BUILT and not os.path.exists(os.path.join(path, "_SUCCESS")):
-        docs = _read(spark, sf_dir, "documents").select(
-            "doc_id", F.regexp_replace("text", " ", "").alias("s")
-        )
-        kmers = (
-            docs.filter(F.length("s") >= _K)
-            .select(
-                "doc_id",
-                F.posexplode(
-                    F.transform(
-                        F.sequence(F.lit(0), F.length("s") - _K),
-                        lambda i: F.col("s").substr(i + 1, F.lit(_K)),
-                    )
-                ).alias("pos", "kmer"),
+    path = tmp_cache_path("kmer", os.path.join(sf_dir, "documents.parquet"), f"k{_K}")
+    if path not in _KMER_BUILT:
+
+        def write(tmp: str) -> None:
+            docs = _read(spark, sf_dir, "documents").select(
+                "doc_id", F.regexp_replace("text", " ", "").alias("s")
             )
-            .repartition("kmer")
-            .sortWithinPartitions("kmer")
-        )
-        # build under a process-unique temp dir, then publish with one atomic
-        # rename — concurrent builders (e.g. serve_shards sessions) either win
-        # the rename or discard their scratch; readers never see partial data
-        tmp = f"{path}_build_{os.getpid()}"
-        kmers.write.mode("overwrite").parquet(tmp)
-        try:
-            os.rename(tmp, path)
-        except OSError:  # another process published first — use theirs
-            import shutil
+            (
+                docs.filter(F.length("s") >= _K)
+                .select(
+                    "doc_id",
+                    F.posexplode(
+                        F.transform(
+                            F.sequence(F.lit(0), F.length("s") - _K),
+                            lambda i: F.col("s").substr(i + 1, F.lit(_K)),
+                        )
+                    ).alias("pos", "kmer"),
+                )
+                .repartition("kmer")
+                .sortWithinPartitions("kmer")
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
 
-            shutil.rmtree(tmp, ignore_errors=True)
-    _KMER_BUILT.add(key)
+        publish_atomically(path, write)
+    _KMER_BUILT.add(path)
     return spark.read.parquet(path)
 
 
@@ -1194,10 +1183,17 @@ _FUZZY_QUERY = "tablepert"  # 1 substitution off "tablepart": 0 exact matches,
 # path from the exact one (fts_q18_kmer)
 
 
+# the despaced-text alphabet the fuzzy expansion substitutes over — MUST
+# stay in sync with the oracle's window guard in _d_fuzzy_base_cond (a doc
+# char outside this set can never be generated as a neighbor, so the oracle
+# must not count a mismatch on it either)
+_FUZZY_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789"
+
+
 def _hamming1_neighbors(kmer: str) -> list[str]:
     out = [kmer]
     for i in range(len(kmer)):
-        for c in "abcdefghijklmnopqrstuvwxyz":
+        for c in _FUZZY_ALPHABET:
             if c != kmer[i]:
                 out.append(kmer[:i] + c + kmer[i + 1 :])
     return out
@@ -1215,13 +1211,18 @@ def _kmer_fuzzy_match_counts(spark: SparkSession, sf_dir: str, query: str) -> Da
 
 
 def _d_fuzzy_base_cond(query: str) -> str:
-    """DuckDB: all query k-mer windows at base b are Hamming-≤1 matches."""
+    """DuckDB: all query k-mer windows at base b are Hamming-≤1 matches with
+    the substituted character restricted to _FUZZY_ALPHABET — the engine can
+    only expand neighbors over that alphabet, so the oracle guards each
+    window to it (match positions equal the query's a-z chars, so the guard
+    constrains exactly the mismatch position)."""
     conds = []
     for j in range(len(query) - _K + 1):
         qk = query[j : j + _K]
         conds.append(
             f"len(list_filter(range(0, {_K}), p -> "
             f"substr(s, (b + {j} + p)::INT, 1) <> substr('{qk}', (p + 1)::INT, 1))) <= 1"
+            f" AND regexp_matches(substr(s, (b + {j})::INT, {_K}), '^[a-z0-9]+$')"
         )
     return " AND ".join(conds)
 
@@ -1239,7 +1240,7 @@ SELECT doc_id, n_matches FROM m WHERE n_matches > 0
 )
 def fts_q18_kmer_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy sequence search through the SAME persisted k-mer index as
-    fts_q18_kmer: per-5-mer Hamming-≤1 neighborhoods (126 terms each) are
+    fts_q18_kmer: per-5-mer Hamming-≤1 neighborhoods (176 terms each) are
     IN-pushdown scanned, so the per-query cost is neighborhood size × postings
     density — never a corpus rescan. The oracle takes the independent route:
     a character-window scan checking every window's Hamming distance."""

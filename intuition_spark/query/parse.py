@@ -139,10 +139,15 @@ def parse_query(
                 from intuition_spark.query.ast import FIELD_EQ_COLS
 
                 if fname not in FIELD_EQ_COLS:
-                    raise QueryParseError(
-                        f"unknown field {fname!r} (supported: text, "
-                        f"{', '.join(FIELD_EQ_COLS)})"
-                    )
+                    # edismax semantics: an unrecognized field name is NOT an
+                    # error — the whole token degrades to a plain scoring atom
+                    # (queries legitimately contain colons: URLs, key:value
+                    # fragments, timestamps). The analyzer splits the payload
+                    # on non-alphanumerics, so 'http://example.com' scores as
+                    # the token sequence [http, example, com].
+                    groups.append([("term", t.lstrip("+"), 0)])
+                    i += 1
+                    continue
                 if fname in field_eq:
                     raise QueryParseError(f"duplicate field predicate: {fname!r}")
                 field_eq[fname] = fval

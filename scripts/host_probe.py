@@ -25,14 +25,20 @@ def work(_):
     return time.time() - t0
 
 
-def main() -> None:
-    widths = [int(a) for a in sys.argv[1:]] or [1, 2, 4, 8, 16, 32]
+def probe(widths) -> dict:
+    """Mean per-process wall time of the constant-work loop at each width —
+    the single implementation both the CLI and bench.py record."""
     out = {}
     for n in widths:
         with mp.Pool(n) as p:
             ts = p.map(work, range(n))
         out[str(n)] = round(sum(ts) / len(ts), 3)
-    print(json.dumps({"per_proc_sec_by_width": out, "ts": time.time()}))
+    return out
+
+
+def main() -> None:
+    widths = [int(a) for a in sys.argv[1:]] or [1, 2, 4, 8, 16, 32]
+    print(json.dumps({"per_proc_sec_by_width": probe(widths), "ts": time.time()}))
 
 
 if __name__ == "__main__":

@@ -74,14 +74,20 @@ def run(n_shards: int, ix_std: str, ix_ws: str, rounds: int) -> dict:
         try:
             shards.append(out_q.get(timeout=10))
         except _queue.Empty:
-            dead = [p for p in procs if not p.is_alive() and p.exitcode not in (0, None)]
-            if dead or time.time() > deadline:
+            # exited-without-reporting counts as dead regardless of exit
+            # code — a worker that returns/os._exit(0)s before putting its
+            # result must fail fast, not burn the whole deadline. Workers
+            # report exactly once, so (exited) > (reported) means loss.
+            n_exited = sum(1 for p in procs if not p.is_alive())
+            if n_exited > len(shards) or time.time() > deadline:
                 for p in procs:
                     p.terminate()
+                for p in procs:
+                    p.join(timeout=10)
                 missing = len(procs) - len(shards)
                 raise RuntimeError(
-                    f"{missing} shard(s) never reported "
-                    f"(dead: {[p.exitcode for p in dead]})"
+                    f"{missing} shard(s) never reported (exit codes: "
+                    f"{[p.exitcode for p in procs if not p.is_alive()]})"
                 )
     for p in procs:
         p.join()

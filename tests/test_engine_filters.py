@@ -217,7 +217,9 @@ def test_mode_identity_randomized_fq_sweep(setup):
         elif kind == "or_groups":
             groups = [pick_terms(2), pick_terms(2)]
         elif kind == "phrase":
-            groups = [pick_terms(2)]
+            # one MULTI-TOKEN atom — two single-token atoms in a group would
+            # be an OR, and the positional matcher would never run
+            groups = [[" ".join(pick_terms(2))]]
         else:  # wildcard: prefix of a mid term
             t = rng.choice(mid)
             groups = [[t[: max(2, len(t) - 2)] + "*"]]

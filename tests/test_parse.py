@@ -112,8 +112,12 @@ def test_parse_field_qualified():
     q2 = parse_query('role:"some agent" text:foo')
     assert q2.kind == "term" and q2.groups == [["foo"]]
     assert q2.field_eq == {"role": "some agent"}
-    with pytest.raises(QueryParseError):
-        parse_query("bogusfield:x table")
+    # unknown field names degrade to plain scoring atoms (edismax semantics):
+    # transcripts legitimately contain colon tokens — URLs, key:value text
+    q3 = parse_query("bogusfield:x table")
+    assert q3.field_eq is None and q3.groups == [["bogusfield:x"], ["table"]]
+    q4 = parse_query("error http://example.com")
+    assert q4.groups == [["error"], ["http://example.com"]]
     with pytest.raises(QueryParseError):
         parse_query("role:a role:b table")
     with pytest.raises(QueryParseError):
