@@ -238,7 +238,8 @@ def run_scaling_submit(workdir: str) -> dict:
     src = transcripts_path(SCALING_TURNS)
     n_lo, n_hi = SCALING_CORES
     results = {"turns": SCALING_TURNS, "cores": [n_lo, n_hi], "via": "spark-submit --py-files"}
-    for cores in (n_lo, n_hi):
+
+    def one_leg(cores: int) -> dict:
         out_dir = os.path.join(workdir, f"ix_submit_{cores}")
         shutil.rmtree(out_dir, ignore_errors=True)
         env = dict(os.environ)
@@ -258,12 +259,31 @@ def run_scaling_submit(workdir: str) -> dict:
             capture_output=True, text=True, env=env, check=True,
         )
         line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
-        m = json.loads(line)
-        results[f"thr_{cores}"] = m["turns_per_sec"]
-        results[f"wall_{cores}"] = m["total_s"]
+        return json.loads(line)
+
+    # INTERLEAVED best-of-R legs (lo, hi, lo, hi): ambient VM load drifts on
+    # the minutes scale, so a sequential lo-then-hi pair biases the ratio by
+    # whatever the box was doing during each leg. Interleaving + taking each
+    # width's best leg measures the CODE's scalability, not the neighbors'.
+    # A host probe brackets each leg so the record shows the conditions.
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
+    from scripts.host_probe import probe
+
+    legs: dict[int, list[dict]] = {n_lo: [], n_hi: []}
+    probes = []
+    for _ in range(repeats):
+        for cores in (n_lo, n_hi):
+            probes.append({"before_cores": cores, **probe((1,))})
+            legs[cores].append(one_leg(cores))
+    results["host_probes"] = probes
+    for cores in (n_lo, n_hi):
+        best = max(legs[cores], key=lambda m: m["turns_per_sec"])
+        results[f"thr_{cores}"] = best["turns_per_sec"]
+        results[f"wall_{cores}"] = best["total_s"]
         results[f"stages_{cores}"] = {
-            k: m[k] for k in ("docs_stage_s", "postings_stage_s", "dictionary_stage_s")
+            k: best[k] for k in ("docs_stage_s", "postings_stage_s", "dictionary_stage_s")
         }
+        results[f"thr_{cores}_all"] = [m["turns_per_sec"] for m in legs[cores]]
     ratio = n_hi / n_lo
     results["efficiency_N_to_4N"] = round(
         results[f"thr_{n_hi}"] / results[f"thr_{n_lo}"] / ratio, 3
