@@ -246,3 +246,38 @@ def test_mode_identity_randomized_fq_sweep(setup):
             )
             for (gd, gs), (ed, es) in zip(got, exp):
                 assert abs(gs - es) < 1e-6, f"sweep_{i:02d} [{mode}] score {gs} vs {es}"
+
+
+def test_mode_identity_ws_analyzer_sweep(setup):
+    """Same mode-identity net over the ws (whitespace) analyzer route — the
+    wildcard field's index. Distinct code path: different analyzer chain,
+    separate index/dictionary/doc caches, q.analyzer routing."""
+    import random
+
+    eng, oracles, rows = setup
+    rng = random.Random(77)
+    post = oracles["ws"].postings
+    by_df = sorted(post, key=lambda t: -len(post[t]))
+    pool = [t for t in by_df if len(post[t]) >= 3][:60]
+    roles = sorted({r["role"] for r in rows if r.get("role")})
+    for i in range(10):
+        kind = rng.choice(["term", "and", "wildcard"])
+        if kind == "wildcard":
+            t = rng.choice(pool)
+            groups = [[t[: max(2, len(t) - 2)] + "*"]]
+        else:
+            groups = [[t] for t in rng.sample(pool, 1 if kind == "term" else 2)]
+        kw = {}
+        if rng.random() < 0.5:
+            kw["field_eq"] = {"role": rng.choice(roles)}
+        q = Query(f"ws_{i:02d}", kind, groups, k=rng.choice([5, 20]),
+                  analyzer="ws", **kw)
+        exp = oracle_search(oracles["ws"], q)
+        for mode in ("auto", "exhaustive"):
+            eng._result_cache.clear()
+            got = [(r["doc"], r["score"]) for r in eng.search(q, mode=mode).collect()]
+            assert [d for d, _ in got] == [d for d, _ in exp], (
+                f"ws_{i:02d} [{mode}] {kind} {kw}"
+            )
+            for (gd, gs), (ed, es) in zip(got, exp):
+                assert abs(gs - es) < 1e-6
