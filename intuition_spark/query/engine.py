@@ -335,9 +335,14 @@ class SearchEngine:
         O(selective predicates), exactly Solr's maxDoc-bounded filterCache
         bitsets; the caller must then use the distributed filtered path.
         """
-        preds: list[tuple[str, str | None]] = sorted((q.field_eq or {}).items())
+        preds: list[tuple[str, object]] = sorted((q.field_eq or {}).items())
         if q.require_no_tool:
             preds.append(("tool", None))  # tool IS NULL
+        if q.ts_after is not None:
+            # range fq (the reference's date:[x TO NOW], SolrClientTool
+            # date-floor shape) caches exactly like an equality predicate —
+            # Solr's filterCache does the same for range fqs
+            preds.append(("__ts_after__", q.ts_after))
         out: np.ndarray | None = None
         state = self._index_state(a)
         for fcol, fval in preds:
@@ -345,17 +350,30 @@ class SearchEngine:
             if key not in self._fq_cache:
                 cached_docs = self._doc_cache.get(a)
                 if cached_docs is not None:
-                    col = cached_docs[fcol]
-                    mask = col.isna() if fval is None else (col == fval)
+                    if fcol == "__ts_after__":
+                        # session tz is UTC (session.py), so toPandas yields
+                        # NAIVE UTC wall times — align the bound's awareness
+                        bound = pd.Timestamp(fval)
+                        if cached_docs["ts"].dt.tz is None:
+                            if bound.tzinfo is not None:
+                                bound = bound.tz_convert("UTC").tz_localize(None)
+                        elif bound.tzinfo is None:
+                            bound = bound.tz_localize("UTC")
+                        mask = cached_docs["ts"] >= bound
+                    else:
+                        col = cached_docs[fcol]
+                        mask = col.isna() if fval is None else (col == fval)
                     ids = cached_docs.index.to_numpy()[mask.to_numpy()]
                     ids = None if ids.size > self.FQ_MAX_IDS else np.sort(
                         ids.astype(np.int64)
                     )
                 else:
-                    cond = (
-                        F.col(fcol).isNull() if fval is None
-                        else F.col(fcol) == F.lit(fval)
-                    )
+                    if fcol == "__ts_after__":
+                        cond = F.col("ts") >= F.lit(fval)
+                    elif fval is None:
+                        cond = F.col(fcol).isNull()
+                    else:
+                        cond = F.col(fcol) == F.lit(fval)
                     pdf = (
                         self._docs(a).filter(cond).select("doc_id")
                         .limit(self.FQ_MAX_IDS + 1).toPandas()
@@ -390,14 +408,14 @@ class SearchEngine:
 
     def _search_uncached(self, q: Query, a: str, mode: str) -> DataFrame:
         # fq predicates split two ways (Solr semantics: ALL filter before
-        # ranking). field_eq / require_no_tool resolve through the
-        # filterCache into an `included` id array the scorers intersect
-        # BEFORE any top-k cut — fast-path- and WAND-compatible.
-        # filter_docs / ts_after (doc-list and range shapes) stay
-        # distributed-only: they route to the exhaustive path, where the
-        # predicate lands in the docs join before the global ordering.
-        dist_filter = q.filter_docs is not None or q.ts_after is not None
-        fq_preds = bool(q.field_eq) or q.require_no_tool
+        # ranking). field_eq / require_no_tool / ts_after resolve through
+        # the filterCache into an `included` id array the scorers intersect
+        # BEFORE any top-k cut — fast-path- and WAND-compatible. filter_docs
+        # (the arbitrary doc-list shape) stays distributed-only: it routes
+        # to the exhaustive path, where the predicate lands in the docs
+        # join before the global ordering.
+        dist_filter = q.filter_docs is not None
+        fq_preds = bool(q.field_eq) or q.require_no_tool or q.ts_after is not None
         has_filter = dist_filter or fq_preds
         included: np.ndarray | None = None
         fq_ok = False
