@@ -266,14 +266,12 @@ def run_scaling_submit(workdir: str) -> dict:
     # whatever the box was doing during each leg. Interleaving + taking each
     # width's best leg measures the CODE's scalability, not the neighbors'.
     # A host probe brackets each leg so the record shows the conditions.
-    repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
-    from scripts.host_probe import probe
-
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2")))
     legs: dict[int, list[dict]] = {n_lo: [], n_hi: []}
     probes = []
     for _ in range(repeats):
         for cores in (n_lo, n_hi):
-            probes.append({"before_cores": cores, **probe((1,))})
+            probes.append({"before_cores": cores, **_host_probe((1,))})
             legs[cores].append(one_leg(cores))
     results["host_probes"] = probes
     for cores in (n_lo, n_hi):

@@ -324,7 +324,8 @@ class SearchEngine:
 
     def _fq_ids(self, a: str, q: Query) -> np.ndarray | None:
         """Solr filterCache analogue: resolve the query's metadata predicates
-        (field_eq entries + require_no_tool) to ONE sorted doc_id array.
+        (field_eq entries + require_no_tool + the ts_after range bound) to
+        ONE sorted doc_id array.
 
         Each single predicate is cached (LRU, keyed with the on-disk index
         state so incremental merges invalidate naturally); conjunctions
@@ -351,14 +352,19 @@ class SearchEngine:
                 cached_docs = self._doc_cache.get(a)
                 if cached_docs is not None:
                     if fcol == "__ts_after__":
-                        # session tz is UTC (session.py), so toPandas yields
-                        # NAIVE UTC wall times — align the bound's awareness
+                        # toPandas yields NAIVE wall times in the SESSION
+                        # timezone (not necessarily UTC — nothing forces the
+                        # session.py factory) — align the bound's awareness
+                        # to the cached column's basis before comparing
+                        sess_tz = self.spark.conf.get(
+                            "spark.sql.session.timeZone", "UTC"
+                        )
                         bound = pd.Timestamp(fval)
                         if cached_docs["ts"].dt.tz is None:
                             if bound.tzinfo is not None:
-                                bound = bound.tz_convert("UTC").tz_localize(None)
+                                bound = bound.tz_convert(sess_tz).tz_localize(None)
                         elif bound.tzinfo is None:
-                            bound = bound.tz_localize("UTC")
+                            bound = bound.tz_localize(sess_tz)
                         mask = cached_docs["ts"] >= bound
                     else:
                         col = cached_docs[fcol]

@@ -27,11 +27,20 @@ def corpus_ix(spark, tmp_root):
     return ix, oracle
 
 
+_TS_MID = sorted(
+    r["ts"] for r in generate_transcripts(1200, max_tokens=30).to_pylist()
+)[600]
+
 QS = [
     Query("fb_role", "term", [["data"]], k=10, field_eq={"role": "assistant"}),
     Query("fb_and", "and", [["query"], ["data"]], k=10, require_no_tool=True),
     Query("fb_both", "term", [["spark"]], k=15,
           field_eq={"role": "user"}, require_no_tool=True),
+    # ts_after exercises the range branch of _fq_ids in BOTH fallback shapes:
+    # pushdown `ts >= lit(bound)` scan (no doc cache) and oversize routing
+    Query("fb_ts", "term", [["data"]], k=10, ts_after=_TS_MID),
+    Query("fb_ts_role", "term", [["query"]], k=10, ts_after=_TS_MID,
+          field_eq={"role": "assistant"}),
 ]
 
 
