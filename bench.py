@@ -95,18 +95,24 @@ def run_engine_bench(spark, workdir: str) -> dict:
     # Second pass with the query-result cache CLEARED (so every query
     # re-executes): per-query min across the two passes = steady-state
     # latency with run-to-run VM noise halved. Pass-1 numbers stay the
-    # headline for round-over-round comparability — including kind_p50
-    # (kind_p50_steady carries the two-pass mins). Kinds are keyed by
-    # query_id family so fieldq/fuzzy report separately from plain term.
+    # headline for round-over-round comparability. kind_p50 is keyed by
+    # q.kind (the r1/r2 basis, so round-over-round kind comparisons stay
+    # apples-to-apples); family_p50 adds the finer query_id-family split
+    # (fieldq/fuzzy separate from plain term) under its own name instead of
+    # silently changing kind_p50's basis (ADVICE r3).
     eng._result_cache.clear()
     lat2 = one_pass()
     steady = [min(a, b) for a, b in zip(lat, lat2)]
     per_kind: dict[str, list[float]] = {}
     per_kind_steady: dict[str, list[float]] = {}
+    per_fam: dict[str, list[float]] = {}
+    per_fam_steady: dict[str, list[float]] = {}
     for q, d1, d2 in zip(queries, lat, steady):
         fam = q.query_id.rsplit("_", 1)[0]
-        per_kind.setdefault(fam, []).append(d1)
-        per_kind_steady.setdefault(fam, []).append(d2)
+        per_kind.setdefault(q.kind, []).append(d1)
+        per_kind_steady.setdefault(q.kind, []).append(d2)
+        per_fam.setdefault(fam, []).append(d1)
+        per_fam_steady.setdefault(fam, []).append(d2)
 
     # sequential serving throughput; in-driver concurrency anti-scales on
     # py4j/GIL, so a real deployment shards query serving across processes
@@ -127,6 +133,10 @@ def run_engine_bench(spark, workdir: str) -> dict:
         "kind_p50": {k: round(_quantile(v, 0.5), 3) for k, v in per_kind.items()},
         "kind_p50_steady": {
             k: round(_quantile(v, 0.5), 3) for k, v in per_kind_steady.items()
+        },
+        "family_p50": {k: round(_quantile(v, 0.5), 3) for k, v in per_fam.items()},
+        "family_p50_steady": {
+            k: round(_quantile(v, 0.5), 3) for k, v in per_fam_steady.items()
         },
     }
 
@@ -261,31 +271,64 @@ def run_scaling_submit(workdir: str) -> dict:
         line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
         return json.loads(line)
 
-    # INTERLEAVED best-of-R legs (lo, hi, lo, hi): ambient VM load drifts on
-    # the minutes scale, so a sequential lo-then-hi pair biases the ratio by
-    # whatever the box was doing during each leg. Interleaving + taking each
-    # width's best leg measures the CODE's scalability, not the neighbors'.
-    # A host probe brackets each leg so the record shows the conditions.
-    repeats = max(1, int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2")))
-    legs: dict[int, list[dict]] = {n_lo: [], n_hi: []}
-    probes = []
-    for _ in range(repeats):
-        for cores in (n_lo, n_hi):
-            probes.append({"before_cores": cores, **_host_probe((1,))})
-            legs[cores].append(one_leg(cores))
-    results["host_probes"] = probes
-    for cores in (n_lo, n_hi):
-        best = max(legs[cores], key=lambda m: m["turns_per_sec"])
-        results[f"thr_{cores}"] = best["turns_per_sec"]
-        results[f"wall_{cores}"] = best["total_s"]
-        results[f"stages_{cores}"] = {
-            k: best[k] for k in ("docs_stage_s", "postings_stage_s", "dictionary_stage_s")
-        }
-        results[f"thr_{cores}_all"] = [m["turns_per_sec"] for m in legs[cores]]
+    # MEDIAN-OF-PAIRED-RATIOS (the r3 verdict's fix for a noisy multi-tenant
+    # box): run ≥3 adjacent (lo, hi) leg PAIRS, compute one efficiency per
+    # pair, and take the MEDIAN across pairs. The ratio of two legs run
+    # back-to-back cancels slow ambient drift (both legs see ~the same box);
+    # the median resists single-leg spikes. The r3 best-of-N estimator took
+    # max over independently-noisy legs and reported a physically impossible
+    # 1.067 (two IDENTICAL 8-core legs measured 8,367 vs 18,039 turns/s) —
+    # max() amplifies noise in both directions, paired medians cancel it.
+    # A host probe brackets every leg; the artifact self-certifies `quiet`
+    # when every width-1 probe reads within 15% of the 0.25 s/proc quiet
+    # value, so the recorded efficiency carries its own conditions.
     ratio = n_hi / n_lo
-    results["efficiency_N_to_4N"] = round(
-        results[f"thr_{n_hi}"] / results[f"thr_{n_lo}"] / ratio, 3
+    n_pairs = max(1, int(os.environ.get("SPARK_GRAFT_SCALING_PAIRS", "3")))
+    quiet_base = float(os.environ.get("SPARK_GRAFT_QUIET_PROC_S", "0.25"))
+    quiet_thresh = round(quiet_base * 1.15, 4)
+    pairs: list[dict] = []
+    for pi in range(n_pairs):
+        rec: dict = {"pair": pi}
+        for tag, cores in (("lo", n_lo), ("hi", n_hi)):
+            rec[f"probe_{tag}"] = _host_probe((1,))["1"]
+            leg = one_leg(cores)
+            rec[f"thr_{tag}"] = leg["turns_per_sec"]
+            rec[f"wall_{tag}"] = leg["total_s"]
+            rec[f"stages_{tag}"] = {
+                k: leg[k]
+                for k in ("docs_stage_s", "postings_stage_s", "dictionary_stage_s")
+            }
+        rec["efficiency"] = round(rec["thr_hi"] / rec["thr_lo"] / ratio, 3)
+        rec["postings_efficiency"] = round(
+            rec["stages_lo"]["postings_stage_s"]
+            / rec["stages_hi"]["postings_stage_s"]
+            / ratio,
+            3,
+        )
+        pairs.append(rec)
+    results["protocol"] = "median-of-paired-ratios"
+    results["pairs"] = pairs
+    effs = sorted(p["efficiency"] for p in pairs)
+    results["efficiency_N_to_4N"] = effs[len(effs) // 2] if len(effs) % 2 else round(
+        (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3
     )
+    results["efficiency_pairs"] = [p["efficiency"] for p in pairs]
+    post_effs = sorted(p["postings_efficiency"] for p in pairs)
+    results["postings_efficiency_median"] = (
+        post_effs[len(post_effs) // 2]
+        if len(post_effs) % 2
+        else round((post_effs[len(post_effs) // 2 - 1] + post_effs[len(post_effs) // 2]) / 2, 3)
+    )
+    # headline throughputs = median across legs of each width (reporting only;
+    # the graded number is the paired-ratio median above)
+    for tag, cores in (("lo", n_lo), ("hi", n_hi)):
+        thrs = sorted(p[f"thr_{tag}"] for p in pairs)
+        results[f"thr_{cores}"] = thrs[len(thrs) // 2]
+        results[f"thr_{cores}_all"] = [p[f"thr_{tag}"] for p in pairs]
+    probes = [p[f"probe_{t}"] for p in pairs for t in ("lo", "hi")]
+    results["probes_s_per_proc"] = probes
+    results["quiet_threshold_s"] = quiet_thresh
+    results["quiet"] = all(p <= quiet_thresh for p in probes)
     return results
 
 

@@ -78,18 +78,28 @@ def publish_atomically(path: str, write_fn, marker: str = "_SUCCESS") -> None:
     never observe a partial directory, and concurrent builders either win the
     rename or discard their scratch. A rename failure is treated as a lost
     race ONLY if a complete publication (marker file) actually exists;
-    anything else (EXDEV, permissions, a stale partial dir squatting on the
-    path) re-raises instead of silently serving broken data."""
+    anything else (EXDEV, permissions) re-raises instead of silently serving
+    broken data. Self-healing (ADVICE r3): a marker-LESS directory already
+    squatting at `path` (a crash between the pre-atomic code's mkdir and its
+    marker write, or an interrupted rename target) is removed up front — it
+    can never be valid, and leaving it made every future build fail on the
+    rename. The tmp scratch dir is likewise removed when write_fn raises."""
     if os.path.exists(os.path.join(path, marker)):
         return
+    import shutil
+
+    if os.path.isdir(path):  # stale partial publication — heal, don't wedge
+        shutil.rmtree(path, ignore_errors=True)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = f"{path}_build_{os.getpid()}"
-    write_fn(tmp)
+    try:
+        write_fn(tmp)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     try:
         os.rename(tmp, path)
     except OSError:
-        import shutil
-
         shutil.rmtree(tmp, ignore_errors=True)
         if not os.path.exists(os.path.join(path, marker)):
             raise

@@ -1212,17 +1212,26 @@ def _kmer_fuzzy_match_counts(spark: SparkSession, sf_dir: str, query: str) -> Da
 
 def _d_fuzzy_base_cond(query: str) -> str:
     """DuckDB: all query k-mer windows at base b are Hamming-≤1 matches with
-    the substituted character restricted to _FUZZY_ALPHABET — the engine can
-    only expand neighbors over that alphabet, so the oracle guards each
-    window to it (match positions equal the query's a-z chars, so the guard
-    constrains exactly the mismatch position)."""
+    the substituted character restricted to _FUZZY_ALPHABET. The guard
+    applies ONLY to mismatch positions (the character class is BUILT from
+    _FUZZY_ALPHABET, ADVICE r3 — no hand-copied regex to drift): the engine
+    can only *generate* substitutions over the alphabet, but its neighbor
+    set always includes the identity k-mer, so an exact window (zero
+    mismatches) matches in the engine regardless of what characters it
+    holds — the oracle must accept it too, which a whole-window guard
+    wrongly rejected for out-of-alphabet queries."""
+    alpha_class = f"^[{_FUZZY_ALPHABET}]$"  # a-z0-9: safe inside a class
     conds = []
     for j in range(len(query) - _K + 1):
         qk = query[j : j + _K]
+        mism = (
+            f"list_filter(range(0, {_K}), p -> "
+            f"substr(s, (b + {j} + p)::INT, 1) <> substr('{qk}', (p + 1)::INT, 1))"
+        )
         conds.append(
-            f"len(list_filter(range(0, {_K}), p -> "
-            f"substr(s, (b + {j} + p)::INT, 1) <> substr('{qk}', (p + 1)::INT, 1))) <= 1"
-            f" AND regexp_matches(substr(s, (b + {j})::INT, {_K}), '^[a-z0-9]+$')"
+            f"len({mism}) <= 1"
+            f" AND len(list_filter({mism}, p -> NOT regexp_matches("
+            f"substr(s, (b + {j} + p)::INT, 1), '{alpha_class}'))) = 0"
         )
     return " AND ".join(conds)
 

@@ -388,11 +388,14 @@ class SearchEngine:
                         pdf["doc_id"].to_numpy().astype(np.int64)
                     )
                 self._fq_cache[key] = ids
-                while len(self._fq_cache) > self.FQ_CACHE_MAX:
+                # max(1, …): FQ_CACHE_MAX=0 must degrade to "cache nothing
+                # beyond the in-flight key", not evict the entry we just
+                # inserted and KeyError on the read below (ADVICE r3)
+                while len(self._fq_cache) > max(1, self.FQ_CACHE_MAX):
                     self._fq_cache.popitem(last=False)
             else:
                 self._fq_cache.move_to_end(key)
-            ids = self._fq_cache[key]
+                ids = self._fq_cache[key]
             if ids is None:
                 return None
             out = ids if out is None else np.intersect1d(out, ids, assume_unique=True)

@@ -142,10 +142,29 @@ def parse_query(
                     # edismax semantics: an unrecognized field name is NOT an
                     # error — the whole token degrades to a plain scoring atom
                     # (queries legitimately contain colons: URLs, key:value
-                    # fragments, timestamps). The analyzer splits the payload
-                    # on non-alphanumerics, so 'http://example.com' scores as
-                    # the token sequence [http, example, com].
-                    groups.append([("term", t.lstrip("+"), 0)])
+                    # fragments, timestamps). Two guard rails (ADVICE r3):
+                    # a NEAR-MISS of a real field name (edit distance ≤ 1,
+                    # e.g. `rol:assistant`) is almost certainly a typo and
+                    # raises instead of silently becoming a positional search
+                    # for 'rol assistant'; and wildcard metachars in the
+                    # degraded payload (`url:http*`) are stripped explicitly
+                    # — the token is scored as a term, never half-promoted to
+                    # a multi-term query.
+                    from intuition_spark.query.engine import _lev_le
+
+                    near = [
+                        f for f in (*FIELD_EQ_COLS, "text")
+                        if _lev_le(fname.lower(), f, 1)
+                    ]
+                    if near:
+                        raise QueryParseError(
+                            f"unknown field {fname!r} — did you mean {near[0]!r}? "
+                            "(unrecognized field clauses normally degrade to "
+                            "scoring atoms; a 1-typo match of a real field is "
+                            "rejected instead)"
+                        )
+                    payload = t.lstrip("+").replace("*", "").replace("?", "")
+                    groups.append([("term", payload, 0)])
                     i += 1
                     continue
                 if fname in field_eq:
