@@ -26,19 +26,63 @@ from pyspark.sql import types as T
 MERSENNE = np.uint64((1 << 61) - 1)
 
 
-def _token_hashes(text: str, shingle: int) -> np.ndarray:
+_FNV_OFFSET = np.uint64(1469598103934665603)
+_FNV_PRIME = np.uint64(1099511628211)
+
+
+def _fnv1a_batch(strings: list[str]) -> np.ndarray:
+    """FNV-1a over many strings, vectorized ACROSS strings: the fold
+    h = (h ^ byte) * prime is sequential per string, so the loop runs over
+    BYTE POSITIONS (≤ max string length, ~30 for word shingles) with one
+    numpy op per position over all strings — not over Σ bytes in Python
+    (the r3-flagged interpreter-bound inner loop). Bit-identical to the
+    per-byte scalar fold (uint64 wraparound semantics are numpy's)."""
+    n = len(strings)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    joined = "\x00".join(strings).encode()  # one encode for the whole batch
+    all_bytes = np.frombuffer(joined, dtype=np.uint8)
+    # per-string byte spans of the joined buffer (NUL separators; a pathological
+    # input containing raw NULs would desync the spans — detect and fall back
+    # to the scalar fold, which has no separator assumption)
+    seps = np.flatnonzero(all_bytes == 0)
+    if seps.size != n - 1:
+        out = np.empty(n, dtype=np.uint64)
+        for i, s in enumerate(strings):
+            h = _FNV_OFFSET
+            for c in s.encode():
+                h = (h ^ np.uint64(c)) * _FNV_PRIME
+            out[i] = h
+        return out & MERSENNE
+    starts = np.concatenate(([0], seps + 1))
+    ends = np.concatenate((seps, [all_bytes.size]))
+    lens = ends - starts
+    max_len = int(lens.max())
+    # scatter every byte into a zero-padded (n, max_len) matrix in one shot
+    buf = np.zeros((n, max_len), dtype=np.uint8)
+    keep = np.ones(all_bytes.size, dtype=bool)
+    keep[seps] = False
+    abs_pos = np.flatnonzero(keep)
+    rows = np.repeat(np.arange(n), lens)
+    cols = abs_pos - np.repeat(starts, lens)
+    buf[rows, cols] = all_bytes[abs_pos]
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    for j in range(max_len):
+        live = j < lens
+        folded = (h ^ buf[:, j].astype(np.uint64)) * _FNV_PRIME
+        h = np.where(live, folded, h)
+    return h & MERSENNE
+
+
+def _shingle_strings(text: str, shingle: int) -> list[str]:
     toks = text.lower().split()
     if len(toks) < shingle:
-        shingles = [" ".join(toks)] if toks else []
-    else:
-        shingles = [" ".join(toks[i : i + shingle]) for i in range(len(toks) - shingle + 1)]
-    out = np.empty(len(shingles), dtype=np.uint64)
-    for i, s in enumerate(shingles):
-        h = np.uint64(1469598103934665603)
-        for c in s.encode():
-            h = (h ^ np.uint64(c)) * np.uint64(1099511628211)
-        out[i] = h & MERSENNE
-    return out
+        return [" ".join(toks)] if toks else []
+    return [" ".join(toks[i : i + shingle]) for i in range(len(toks) - shingle + 1)]
+
+
+def _token_hashes(text: str, shingle: int) -> np.ndarray:
+    return _fnv1a_batch(_shingle_strings(text, shingle))
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -67,14 +111,11 @@ def make_minhash_udf(num_hashes: int = 64, shingle: int = 3, seed: int = 42):
         hs = _token_hashes(text or "", shingle)
         if hs.size == 0:
             return [0] * num_hashes
-        # (num_hashes, n_shingles) without overflow: use python-object fallback-
-        # free modmul via float128-unsafe — do it in chunks with uint64 * and
-        # Mersenne-prime folding
-        vals = np.empty(num_hashes, dtype=np.uint64)
-        for i in range(num_hashes):
-            prod = (a[i] * hs) & MERSENNE  # low 61 bits; collisions fine for LSH
-            v = (prod + b[i]) & MERSENNE
-            vals[i] = v.min()
+        # one (num_hashes × n_shingles) broadcast instead of a per-function
+        # Python loop; & MERSENNE keeps the low 61 bits (collisions fine for
+        # LSH) so uint64 products never need wide arithmetic
+        prod = (a[:, None] * hs[None, :]) & MERSENNE
+        vals = ((prod + b[:, None]) & MERSENNE).min(axis=1)
         return [int(x) for x in vals]
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
@@ -179,11 +220,10 @@ def make_simhash_udf(seed: int = 42):
         # expand to ±1 bit votes, weight by token multiplicity (already in hs)
         bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
         votes = (2 * bits - 1).sum(axis=0)
-        v = np.uint64(0)
-        for i in range(64):
-            if votes[i] > 0:
-                v |= np.uint64(1) << np.uint64(i)
-        return int(v.astype(np.int64))
+        v = np.bitwise_or.reduce(
+            (votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
+        )
+        return int(np.uint64(v).astype(np.int64))
 
     @F.pandas_udf(T.LongType())
     def simhash(texts: pd.Series) -> pd.Series:
@@ -236,6 +276,7 @@ def embedding_near_duplicates(
     seed: int = 11,
     dim: int | None = None,
     round_dp: int = 4,
+    max_bucket: int = 8192,
 ) -> DataFrame:
     """Cosine near-dup pairs (a_id, b_id, cosine) — sign-LSH bucketed, the
     DEFAULT and the 100 TB path (never an all-pairs crossJoin; use
@@ -249,10 +290,15 @@ def embedding_near_duplicates(
     never once per candidate PAIR (Σ bucket²·dim — at an adversarial
     threshold that is 100× more bytes; measured 1.6 GB → 12 MB at the gate
     config). Only near-threshold pairs leave the bucket task, then a
-    (a_id, b_id) groupBy dedupes pairs that met in several tables. Skew note
-    for 100 TB: a degenerate bucket means one big GEMM task — cap bucket
-    size (split + within/between salting) before the groupBy if a hash table
-    degenerates; production thresholds with selective buckets don't.
+    (a_id, b_id) groupBy dedupes pairs that met in several tables. Skew
+    control: a bucket bigger than ``max_bucket`` is split into even chunks
+    (row_number within the bucket, so the bound is EXACT, not probabilistic)
+    and every chunk PAIR becomes its own task — within-chunk tasks emit all
+    pairs of one chunk, cross-chunk tasks only pairs spanning the two, so no
+    pair is lost or double-emitted and a degenerate hash table (all vectors
+    in one bucket) can never create a single monster GEMM task: task input
+    is ≤ 2·max_bucket rows (tests/test_functions.py pins both the bound and
+    the result identity vs an uncapped run).
 
     Recall economics: per-plane collision probability for
     angle θ is 1 − θ/π, per-table p^n_planes, overall 1 − (1 − p^P)^T —
@@ -288,28 +334,79 @@ def embedding_near_duplicates(
     # the result is identical to the pair-join formulation
     margin = threshold - 1.5 * 10.0 ** (-round_dp)
 
-    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
-            return pd.DataFrame(
-                {
-                    "a_id": pd.Series(dtype=pdf["a_id"].dtype),
-                    "b_id": pd.Series(dtype=pdf["a_id"].dtype),
-                    "cosine": pd.Series(dtype="float64"),
-                }
+    if max_bucket:
+        # even chunking within each bucket (exact: row_number % n_chunks),
+        # then fan each member to every chunk-PAIR task containing its chunk
+        from pyspark.sql import Window
+
+        wc = Window.partitionBy("key")
+        wr = Window.partitionBy("key").orderBy("a_id")
+        keyed = (
+            keyed.withColumn(
+                "n_chunks", F.ceil(F.count("*").over(wc) / F.lit(max_bucket)).cast("int")
             )
-        V = np.vstack(pdf["va"].to_numpy()).astype(np.float64)
-        nr = pdf["na"].to_numpy(dtype=np.float64)
-        C = (V @ V.T) / np.outer(nr, nr)
-        iu, ju = np.triu_indices(len(pdf), k=1)
-        cos = C[iu, ju]
+            .withColumn(
+                "chunk", ((F.row_number().over(wr) - 1) % F.col("n_chunks")).cast("int")
+            )
+            .withColumn(
+                "cpair",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, n_chunks - 1), "
+                        "j -> struct(least(chunk, j) AS ci, greatest(chunk, j) AS cj))"
+                    )
+                ),
+            )
+            .select(
+                "a_id", "va", "na", "key", "chunk",
+                F.col("cpair.ci").alias("ci"), F.col("cpair.cj").alias("cj"),
+            )
+        )
+    else:
+        keyed = (
+            keyed.withColumn("chunk", F.lit(0))
+            .withColumn("ci", F.lit(0))
+            .withColumn("cj", F.lit(0))
+        )
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "a_id": pd.Series(dtype=pdf["a_id"].dtype),
+                "b_id": pd.Series(dtype=pdf["a_id"].dtype),
+                "cosine": pd.Series(dtype="float64"),
+            }
+        )
+        if len(pdf) < 2:
+            return empty
+        ci, cj = int(pdf["ci"].iat[0]), int(pdf["cj"].iat[0])
+        if ci == cj:  # within-chunk task: all pairs of one chunk
+            V = np.vstack(pdf["va"].to_numpy()).astype(np.float64)
+            nr = pdf["na"].to_numpy(dtype=np.float64)
+            C = (V @ V.T) / np.outer(nr, nr)
+            iu, ju = np.triu_indices(len(pdf), k=1)
+            cos = C[iu, ju]
+            ids_a = ids_b = pdf["a_id"].to_numpy()
+        else:  # cross-chunk task: only pairs spanning the two chunks
+            chunk = pdf["chunk"].to_numpy()
+            A, Bp = pdf[chunk == ci], pdf[chunk == cj]
+            if A.empty or Bp.empty:
+                return empty
+            VA = np.vstack(A["va"].to_numpy()).astype(np.float64)
+            VB = np.vstack(Bp["va"].to_numpy()).astype(np.float64)
+            C = (VA @ VB.T) / np.outer(
+                A["na"].to_numpy(dtype=np.float64), Bp["na"].to_numpy(dtype=np.float64)
+            )
+            iu, ju = np.indices(C.shape).reshape(2, -1)
+            cos = C.ravel()
+            ids_a, ids_b = A["a_id"].to_numpy(), Bp["a_id"].to_numpy()
         keep = cos >= margin
-        ids = pdf["a_id"].to_numpy()
-        a, b = ids[iu[keep]], ids[ju[keep]]
+        a, b = ids_a[iu[keep]], ids_b[ju[keep]]
         swap = a > b
         lo, hi = np.where(swap, b, a), np.where(swap, a, b)
         return pd.DataFrame({"a_id": lo, "b_id": hi, "cosine": cos[keep]})
 
-    pairs = keyed.groupBy("key").applyInPandas(
+    pairs = keyed.groupBy("key", "ci", "cj").applyInPandas(
         bucket_pairs, f"a_id {id_type}, b_id {id_type}, cosine double"
     )
     return (

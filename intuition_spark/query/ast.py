@@ -62,6 +62,12 @@ class Query:
     groups: list[list[str]]
     slop: int = 0
     k: int = 10
+    # S7/T3 deep paging (`SolrClientTool.deepPage`, util/SolrClientTool.java:
+    # 216-233): skip the first `offset` hits of the canonical order, return
+    # the next k. The deterministic tiebreak (score desc, conv_id asc,
+    # turn_idx asc) makes offset pages stable: concatenating pages equals the
+    # one-shot ranking (tests/test_paging.py).
+    offset: int = 0
     filter_docs: list[str] | None = None
     ts_after: datetime | None = None
     require_no_tool: bool = False
@@ -80,6 +86,8 @@ class Query:
     def __post_init__(self) -> None:
         if self.kind not in KINDS:
             raise ValueError(f"unknown query kind {self.kind!r}")
+        if self.offset < 0:
+            raise ValueError(f"offset must be >= 0, got {self.offset}")
         for f in self.field_eq or {}:
             if f not in FIELD_EQ_COLS:
                 raise ValueError(

@@ -292,18 +292,22 @@ class SearchEngine:
             docs = docs.filter(F.col(fcol) == F.lit(fval))
         out = scored.join(docs, "doc_id", "inner")
         keys = [F.col(c).desc() if c in ("score", "tf") else F.col(c) for c in order]
-        return (
-            out.orderBy(*keys, F.col("conv_id").asc(), F.col("turn_idx").asc())
-            .select("doc", "score", "conv_id", "turn_idx")
-            .limit(q.k)
+        out = out.orderBy(*keys, F.col("conv_id").asc(), F.col("turn_idx").asc()).select(
+            "doc", "score", "conv_id", "turn_idx"
         )
+        # deep paging (S7): rows offset..offset+k-1 of the canonical order —
+        # Catalyst plans sort+offset+limit as one TakeOrdered(offset+k) with
+        # a driver-side skip, so page depth never changes the shuffle shape
+        if q.offset:
+            out = out.offset(q.offset)
+        return out.limit(q.k)
 
     # ---- search --------------------------------------------------------
     @staticmethod
     def _result_key(q: Query, mode: str, a: str) -> tuple:
         """Semantic identity of a query (query_id excluded — it's a label)."""
         return (
-            a, mode, q.kind, tuple(tuple(g) for g in q.groups), q.slop, q.k,
+            a, mode, q.kind, tuple(tuple(g) for g in q.groups), q.slop, q.k, q.offset,
             tuple(q.filter_docs) if q.filter_docs is not None else None,
             q.ts_after, q.require_no_tool,
             tuple(sorted(q.field_eq.items())) if q.field_eq else None,
@@ -607,7 +611,7 @@ class SearchEngine:
             asc.append(c not in ("score", "tf", "ts"))
         m = m.sort_values(
             sort_cols + ["conv_id", "turn_idx"], ascending=asc + [True, True], kind="mergesort"
-        ).head(q.k)
+        ).iloc[q.offset : q.offset + q.k]
         out = m[["doc", "score", "conv_id", "turn_idx"]]
         return self.spark.createDataFrame(
             out, schema="doc string, score double, conv_id string, turn_idx int"
@@ -626,8 +630,9 @@ class SearchEngine:
             return self._empty_hits()
         if excluded is None:
             excluded = self._tombstones(a)
+        depth = q.k + q.offset  # paging: the boundary moves to offset+k
         scorer = wand.make_segment_scorer(
-            meta, n_groups, q.k, avgdl, prune=True, excluded=excluded,
+            meta, n_groups, depth, avgdl, prune=True, excluded=excluded,
             included=included,
         )
         # One scoring call PER SEGMENT, not one global call: the scorer's
@@ -641,8 +646,8 @@ class SearchEngine:
         if cand.empty:
             return self._empty_hits()
         cand = cand.sort_values("score", ascending=False, kind="mergesort")
-        if len(cand) > q.k:  # keep score ties at the k-boundary for tiebreak
-            cutoff = float(cand["score"].iloc[q.k - 1])
+        if len(cand) > depth:  # keep score ties at the page boundary for tiebreak
+            cutoff = float(cand["score"].iloc[depth - 1])
             cand = cand[cand["score"] >= cutoff]
         return self._driver_hydrate(cand, q)
 
@@ -670,8 +675,9 @@ class SearchEngine:
         if docs.size == 0:
             return self._empty_hits()
         order = np.argsort(-tfs, kind="stable")
-        if order.size > q.k:  # keep tf ties at the boundary (ts tiebreak next)
-            cutoff = tfs[order[q.k - 1]]
+        depth = q.k + q.offset
+        if order.size > depth:  # keep tf ties at the boundary (ts tiebreak next)
+            cutoff = tfs[order[depth - 1]]
             order = order[tfs[order] >= cutoff]
         cand = pd.DataFrame(
             {"doc_id": docs[order], "score": tfs[order].astype(np.float64)}
@@ -752,8 +758,9 @@ class SearchEngine:
         cand = agg.reset_index()[["doc_id", "score"]].sort_values(
             "score", ascending=False, kind="mergesort"
         )
-        if len(cand) > q.k:
-            cutoff = float(cand["score"].iloc[q.k - 1])
+        depth = q.k + q.offset
+        if len(cand) > depth:
+            cutoff = float(cand["score"].iloc[depth - 1])
             cand = cand[cand["score"] >= cutoff]
         return self._driver_hydrate(cand, q)
 
@@ -813,7 +820,7 @@ class SearchEngine:
         # per-segment top-k would drop docs the predicate keeps but the
         # unfiltered ranking cuts (Solr fq semantics: filter, then rank).
         scorer = wand.make_segment_scorer(
-            meta, n_groups, q.k, avgdl, prune=prune, excluded=excluded,
+            meta, n_groups, q.k + q.offset, avgdl, prune=prune, excluded=excluded,
             included=included,
         )
         out_schema = T.StructType(
@@ -934,11 +941,12 @@ class SearchEngine:
         if q.filter_docs is not None:
             flt = self.spark.createDataFrame([(d,) for d in q.filter_docs], ["doc"])
             out = out.join(F.broadcast(flt), "doc", "left_semi")
-        return (
-            out.orderBy(F.col("score").desc(), F.col("ts").desc(), "conv_id", "turn_idx")
-            .select("doc", "score", "conv_id", "turn_idx")
-            .limit(q.k)
-        )
+        out = out.orderBy(
+            F.col("score").desc(), F.col("ts").desc(), "conv_id", "turn_idx"
+        ).select("doc", "score", "conv_id", "turn_idx")
+        if q.offset:
+            out = out.offset(q.offset)
+        return out.limit(q.k)
 
     def _search_multiterm(
         self, q: Query, a: str, driver_ok: bool = False,
@@ -991,7 +999,7 @@ class SearchEngine:
         # without it, shipping a big candidate frame back into a distributed
         # join would be slower than the distributed path — fall back.
         cand = pd.DataFrame({"doc_id": docs, "score": np.full(docs.size, 1.0)})
-        if len(cand) > q.k and a not in self._doc_cache:
+        if len(cand) > q.k + q.offset and a not in self._doc_cache:
             return self._finalize(
                 self.spark.createDataFrame(cand, schema="doc_id long, score double"), q, a
             )
@@ -1008,6 +1016,17 @@ class SearchEngine:
         return self.search(
             parse_query(s, query_id=query_id, k=k, analyzer=analyzer, **kw), mode=mode
         )
+
+    def page(self, q: Query, offset: int, k: int | None = None, mode: str = "auto") -> DataFrame:
+        """Deep-paging convenience (`SolrClientTool.deepPage`,
+        util/SolrClientTool.java:216-233): rows offset..offset+k-1 of the
+        query's canonical order. Stateless cursor — the deterministic
+        tiebreak (score desc, conv_id asc, turn_idx asc) guarantees page
+        concatenation equals the one-shot ranking (tests/test_paging.py);
+        no scroll context to keep alive server-side."""
+        from dataclasses import replace
+
+        return self.search(replace(q, offset=offset, k=k if k is not None else q.k), mode=mode)
 
     def get_by_id(self, docs: list[str], a: str | None = None) -> DataFrame:
         """Q12 `client.getById` (`SolrClientTool.java:328-337`)."""

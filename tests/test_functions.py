@@ -189,3 +189,80 @@ def test_train_centroids_deterministic_stable(spark):
     C2 = similarity.train_centroids_deterministic(emb, k=4, iters=3)
     assert np.array_equal(C1, C2) and C1.shape == (4, 8)
     assert np.allclose(np.linalg.norm(C1, axis=1), 1.0)  # unit-norm centroids
+
+
+def test_embedding_near_dup_bucket_cap_identity(spark):
+    """Adversarial all-same-bucket corpus (every vector on one ray → every
+    sign-LSH table puts ALL vectors in one bucket): the max_bucket cap must
+    split the bucket into bounded chunk-pair tasks WITHOUT changing the pair
+    set — capped output == uncapped output == all n·(n-1)/2 pairs."""
+    n = 24
+    rng = np.random.default_rng(9)
+    base = rng.normal(size=8)
+    rows = [
+        (i, [float(x) for x in base * (1.0 + 0.001 * i)]) for i in range(n)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    capped = {(r["a_id"], r["b_id"], r["cosine"]) for r in
+              dedup.embedding_near_duplicates(emb, threshold=0.99, max_bucket=5).collect()}
+    uncapped = {(r["a_id"], r["b_id"], r["cosine"]) for r in
+                dedup.embedding_near_duplicates(emb, threshold=0.99, max_bucket=0).collect()}
+    assert capped == uncapped
+    assert len(capped) == n * (n - 1) // 2  # parallel vectors: cosine 1.0 everywhere
+
+
+def test_embedding_near_dup_bucket_cap_bounds_tasks(spark):
+    """With max_bucket=m, no (key, ci, cj) GEMM task may receive more than
+    2·ceil(bucket/n_chunks) ≤ 2·m rows, even when one bucket holds the whole
+    corpus."""
+    from pyspark.sql import functions as SF
+
+    n, m = 40, 7
+    base = np.arange(1, 9, dtype=np.float64)
+    rows = [(i, [float(x) for x in base]) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # reproduce the library's task fan-out shape and measure group sizes
+    from intuition_spark.functions import portable as PT
+
+    tables = PT.signlsh_tables(4, 6, 8, seed=11)
+    norm = SF.sqrt(SF.aggregate("embedding", SF.lit(0.0), lambda a, x: a + x.cast("double") * x))
+    keyed = emb.select(
+        SF.col("vec_id").alias("a_id"), SF.col("embedding").alias("va"), norm.alias("na"),
+        SF.explode(SF.array(*[(SF.lit(t << 8) + PT.s_signlsh_bits("embedding", planes))
+                              for t, planes in enumerate(tables)])).alias("key"),
+    )
+    from pyspark.sql import Window
+
+    wc = Window.partitionBy("key")
+    wr = Window.partitionBy("key").orderBy("a_id")
+    tasks = (
+        keyed.withColumn("n_chunks", SF.ceil(SF.count("*").over(wc) / SF.lit(m)).cast("int"))
+        .withColumn("chunk", ((SF.row_number().over(wr) - 1) % SF.col("n_chunks")).cast("int"))
+        .withColumn("cpair", SF.explode(SF.expr(
+            "transform(sequence(0, n_chunks - 1), "
+            "j -> struct(least(chunk, j) AS ci, greatest(chunk, j) AS cj))")))
+        .groupBy("key", "cpair.ci", "cpair.cj").count()
+    )
+    max_task = tasks.agg(SF.max("count")).collect()[0][0]
+    assert max_task <= 2 * m
+
+
+def test_fnv_batch_nul_fallback():
+    """Strings containing raw NULs desync the joined-buffer span parser; the
+    scalar fallback must produce the same FNV values as the vectorized path
+    does for NUL-free strings."""
+    import warnings
+
+    from intuition_spark.functions.dedup import _FNV_OFFSET, _FNV_PRIME, MERSENNE, _fnv1a_batch
+
+    def scalar(s):
+        h = _FNV_OFFSET
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            for c in s.encode():
+                h = (h ^ np.uint64(c)) * _FNV_PRIME
+        return int(h & MERSENNE)
+
+    weird = ["plain", "has\x00nul", "", "tail\x00"]
+    got = _fnv1a_batch(weird)
+    assert [int(x) for x in got] == [scalar(s) for s in weird]
