@@ -27,6 +27,11 @@ _ENGINES: dict[str, SearchEngine] = {}
 # /tmp index cache must not serve a stale composition)
 _DOCS_VARIANT = 2
 
+# derived second analyzed field for multi-field (edismax qf) queries: the
+# first TITLE_TOKENS ws tokens of text — the reference's `attr_content` vs
+# `text` dual-field shape (Test1.java:577-586) mapped onto the gate corpus
+TITLE_TOKENS = 8
+
 
 def documents_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -49,10 +54,10 @@ def get_documents_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
     from intuition_spark.driver_gate import publish_atomically, tmp_cache_path
     from intuition_spark.index.builder import LAYOUT_VERSION
 
-    ix_dir = tmp_cache_path(
-        "ix_ws",
-        os.path.join(sf_dir, "documents.parquet"),
-        f"v{LAYOUT_VERSION}d{_DOCS_VARIANT}",
+    src = os.path.join(sf_dir, "documents.parquet")
+    ix_dir = tmp_cache_path("ix_ws", src, f"v{LAYOUT_VERSION}d{_DOCS_VARIANT}")
+    ix_title = tmp_cache_path(
+        "ix_title", src, f"v{LAYOUT_VERSION}d{_DOCS_VARIANT}t{TITLE_TOKENS}"
     )
     if ix_dir in _ENGINES:
         return _ENGINES[ix_dir]
@@ -70,7 +75,22 @@ def get_documents_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
         ),
         marker="stats.json",
     )
-    eng = SearchEngine(spark, {"ws": ix_dir})
+    # second analyzed field over the SAME corpus rows (identical doc ids and
+    # segments by builder determinism): title = first TITLE_TOKENS ws tokens
+    publish_atomically(
+        ix_title,
+        lambda tmp: build_index(
+            spark,
+            documents_as_transcripts(spark, sf_dir).withColumn(
+                "text", F.concat_ws(" ", F.slice(F.split("text", " "), 1, TITLE_TOKENS))
+            ),
+            tmp,
+            analyzer="ws",
+            n_segments=4,
+        ),
+        marker="stats.json",
+    )
+    eng = SearchEngine(spark, {"ws": ix_dir, "title": ix_title})
     _ENGINES[ix_dir] = eng
     return eng
 
@@ -224,6 +244,59 @@ def fts_engine_field_qual(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = eng.search_str(
         "+table +value role:assistant", k=1_000_000, analyzer="ws", mode="exhaustive"
     )
+    return hits.select("doc", F.round("score", 4).alias("score"))
+
+
+@register(
+    "fts_engine_multifield",
+    f"""
+WITH {_BM25_CTES},
+ttoks AS (SELECT doc_id, term, pos FROM toks WHERE pos < {TITLE_TOKENS}),
+tstats AS (SELECT doc_id, count(*) AS dl FROM ttoks WHERE term <> '' GROUP BY doc_id),
+tcorpus AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM tstats),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term IN ('window','sort')
+       GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+ttf AS (SELECT doc_id, term, count(*) AS tf FROM ttoks WHERE term IN ('window','sort')
+        GROUP BY doc_id, term),
+tdf AS (SELECT term, count(*) AS df FROM ttf GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id, tf.term,
+         1.0 * ln(1 + (c.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * ({K1} + 1.0)
+             / (tf.tf + {K1} * (1.0 - {B} + {B} * s.dl / c.avgdl)) AS w
+  FROM tf JOIN df USING(term) JOIN doc_stats s USING(doc_id) CROSS JOIN corpus c
+  UNION ALL
+  SELECT ttf.doc_id, ttf.term,
+         2.0 * ln(1 + (tc.n - tdf.df + 0.5) / (tdf.df + 0.5))
+             * ttf.tf * ({K1} + 1.0)
+             / (ttf.tf + {K1} * (1.0 - {B} + {B} * ts.dl / tc.avgdl)) AS w
+  FROM ttf JOIN tdf USING(term) JOIN tstats ts USING(doc_id) CROSS JOIN tcorpus tc),
+scored AS (
+  SELECT doc_id, sum(w) AS score, count(DISTINCT term) AS ng
+  FROM contrib GROUP BY doc_id)
+SELECT doc_id || ':0' AS doc, round(score, 4) AS score
+FROM scored WHERE ng = 2
+""",
+)
+def fts_engine_multifield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-field scored query (edismax qf) through the full engine: one
+    `+window +sort` boolean scored across TWO analyzed-field indexes of the
+    same corpus — `text` (ws) at boost 1 and `title` (first {TITLE_TOKENS}
+    ws tokens) at boost 2 — the reference's field-qualified boolean over
+    `attr_content` AND `text` (Test1.java:577-586) with edismax qf weights.
+    mm=100% holds across the field UNION (a group matched in either field
+    counts); each matching (field, term) contributes boost·idf_f·bm25_f with
+    the field's own df/dl/avgdl stats. The oracle recomputes both fields'
+    BM25 from first principles and sums the boosted contributions. No LIMIT:
+    every matching doc returns, so there is no top-k boundary to disagree
+    on."""
+    eng = get_documents_engine(spark, sf_dir)
+    q = Query(
+        "gate_mf", "and", [["window"], ["sort"]], k=1_000_000,
+        fields={"ws": 1.0, "title": 2.0},
+    )
+    hits = eng.search(q, mode="exhaustive")
     return hits.select("doc", F.round("score", 4).alias("score"))
 
 

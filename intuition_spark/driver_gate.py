@@ -691,6 +691,9 @@ def rel_so3_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
 FROM events GROUP BY event_type
 """,
+    gated=False,  # demoted to EXTRA in r4 (still pytest-oracle-gated +
+    # benched) to free a driver-window slot for fts_engine_multifield —
+    # countDistinct agg coverage remains via rel_a3/rel_a4/fts_forward_index
 )
 def rel_a6_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (

@@ -82,12 +82,33 @@ class Query:
     # transcript metadata columns: exact match on role/tool/conv_id, applied
     # as a non-scoring fq like require_no_tool.
     field_eq: dict[str, str] | None = None
+    # edismax qf: score ONE query across several analyzed-field indexes with
+    # per-field boosts — the reference scores a boolean over `attr_content`
+    # AND `text` in one query (Test1.java:577-586) and edismax qf weights
+    # fields (`text^2 text_ws`). Keys are the engine's index names (each an
+    # analyzed field over the same corpus); values are boosts (> 0). Group
+    # semantics are unchanged (mm=100%: every group must match in at least
+    # one field); each matching (field, term) contributes
+    # boost_f · idf_f(term) · bm25_tf_f — Lucene BooleanQuery disjunction
+    # sum across fields (dismax tie=1). None = single-field (`analyzer`).
+    fields: dict[str, float] | None = None
 
     def __post_init__(self) -> None:
         if self.kind not in KINDS:
             raise ValueError(f"unknown query kind {self.kind!r}")
         if self.offset < 0:
             raise ValueError(f"offset must be >= 0, got {self.offset}")
+        if self.fields is not None:
+            if not self.fields:
+                raise ValueError("fields must be a non-empty dict when set")
+            for f, w in self.fields.items():
+                if not (isinstance(w, (int, float)) and w > 0):
+                    raise ValueError(f"field boost must be > 0: {f}^{w!r}")
+            if self.kind in ("wildcard", "regex", "fuzzy", "tf_sort"):
+                raise ValueError(
+                    f"multi-field scoring does not apply to {self.kind!r} "
+                    "(constant-score/termfreq queries are single-field)"
+                )
         for f in self.field_eq or {}:
             if f not in FIELD_EQ_COLS:
                 raise ValueError(
@@ -98,6 +119,9 @@ class Query:
     def effective_analyzer(self) -> str:
         # wildcard/regex/fuzzy run against the whitespace field, like the
         # reference flipping default field to text_ws (SolrServiceImpl.java:434)
+        if self.fields:
+            # primary field: hydration source + single-field fallback routing
+            return next(iter(self.fields))
         if self.kind in ("wildcard", "regex", "fuzzy"):
             return "ws"
         return self.analyzer

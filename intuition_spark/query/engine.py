@@ -190,6 +190,13 @@ class SearchEngine:
             return eff
         return next(iter(self.paths))
 
+    def _analyzer_of(self, a: str) -> str:
+        """Analyzer of index ``a`` — from the index's own stats.json, so an
+        index name need not equal its analyzer (e.g. a `title` field index
+        built with the ws analyzer; the reference's per-field fieldType,
+        SolrItem.java:32-33). Falls back to the name for pre-stats layouts."""
+        return self.stats[a].get("analyzer") or a
+
     def _blocks(self, a: str, terms: list[str]) -> DataFrame:
         # term IN (...) is pushed down to the parquet scan; postings files are
         # sorted by term within each seg partition → row-group pruning.
@@ -265,7 +272,7 @@ class SearchEngine:
         atoms: list[_Atom] = []
         for gid, group in enumerate(q.groups):
             for atom in group:
-                toks = [t for t, _ in analyze_text(atom, a)]
+                toks = [t for t, _ in analyze_text(atom, self._analyzer_of(a))]
                 if toks:
                     atoms.append(_Atom(gid, toks, q.slop))
         return atoms
@@ -312,6 +319,7 @@ class SearchEngine:
             q.ts_after, q.require_no_tool,
             tuple(sorted(q.field_eq.items())) if q.field_eq else None,
             tuple(q.exclude) if q.exclude else None,
+            tuple(q.fields.items()) if q.fields else None,
         )
 
     def _index_state(self, a: str) -> tuple:
@@ -438,6 +446,11 @@ class SearchEngine:
             if fq_ok and included.size == 0:
                 return self._empty_hits()
         fast_ok = not has_filter or fq_ok
+        if q.fields and (len(q.fields) > 1 or any(w != 1.0 for w in q.fields.values())):
+            # edismax qf: one query scored across several analyzed-field
+            # indexes (a single field at boost 1.0 falls through to the
+            # plain single-field routing on that index)
+            return self._search_multifield(q, a, mode, fast_ok, included)
         ex_terms = self._exclude_terms(q, a)
         if q.kind in ("wildcard", "regex", "fuzzy"):
             return self._search_multiterm(
@@ -446,7 +459,7 @@ class SearchEngine:
             )
         if q.kind == "tf_sort":
             if mode == "auto" and fast_ok:
-                term = analyze_text(q.groups[0][0], a)[0][0]
+                term = analyze_text(q.groups[0][0], self._analyzer_of(a))[0][0]
                 if self._small_enough(a, [term] + ex_terms):
                     return self._driver_tf_sort(
                         q, a, term, self._excluded_ids(a, ex_terms), included=included
@@ -492,7 +505,7 @@ class SearchEngine:
         shapes, SolrServiceImpl.java:88)."""
         out: list[str] = []
         for xatom in q.exclude or []:
-            toks = [t for t, _ in analyze_text(xatom, a)]
+            toks = [t for t, _ in analyze_text(xatom, self._analyzer_of(a))]
             if len(toks) > 1:
                 raise ValueError(f"exclude atoms must be single terms: {xatom!r}")
             out.extend(toks)
@@ -684,14 +697,14 @@ class SearchEngine:
         )
         return self._driver_hydrate(cand, q, order=("score", "ts"))
 
-    def _driver_exhaustive(
-        self, q: Query, a: str, atoms: list[_Atom], excluded: np.ndarray | None = None,
-        included: np.ndarray | None = None,
-    ) -> DataFrame:
-        """Small-query exhaustive scoring (incl. phrase/proximity positional
-        matching) on the driver — same block decode, same sloppy-phrase
-        semantics, two point-scan jobs total."""
-        meta, n_groups = self._term_meta(a, atoms)
+    def _driver_field_contrib(
+        self, a: str, atoms: list[_Atom], boost: float
+    ) -> tuple[list, list, list]:
+        """Per-(doc, gid) BM25 contributions of ONE analyzed field × boost —
+        the decode/scoring core shared by the single-field driver exhaustive
+        path and the multi-field (edismax qf) driver path. Returns parallel
+        lists of numpy arrays (doc_ids, gids, weighted contributions)."""
+        meta, _ = self._term_meta(a, atoms)
         avgdl = self.stats[a]["avgdl"]
         N = self.stats[a]["N"]
         single = [at for at in atoms if len(at.terms) == 1]
@@ -699,10 +712,11 @@ class SearchEngine:
         need_pos = bool(phrases)
         all_terms = sorted({t for at in atoms for t in at.terms})
         pdf = self._collect_blocks(a, all_terms, with_positions=need_pos)
+        doc_parts: list[np.ndarray] = []
+        gid_parts: list[np.ndarray] = []
+        w_parts: list[np.ndarray] = []
         if pdf.empty:
-            return self._empty_hits()
-
-        doc_parts, gid_parts, w_parts = [], [], []
+            return doc_parts, gid_parts, w_parts
 
         single_terms = {at.terms[0]: at.gid for at in single}
         for row in pdf.itertuples(index=False):
@@ -715,13 +729,13 @@ class SearchEngine:
             idf = meta[row.term][1]
             doc_parts.append(docs.astype(np.int64))
             gid_parts.append(np.full(n, single_terms[row.term], dtype=np.int32))
-            w_parts.append(idf * wand._weight(tfs, dls, avgdl))
+            w_parts.append(boost * idf * wand._weight(tfs, dls, avgdl))
 
         for at in phrases:
             dfs = self._dfs_for_terms(a, sorted(set(at.terms)))
             # per-token sum (NOT per distinct term): a repeated term counts
             # once per position, like Lucene PhraseWeight and the oracle
-            idf_sum = sum(bm25_idf(N, dfs.get(t, 0)) for t in at.terms)
+            idf_sum = boost * sum(bm25_idf(N, dfs.get(t, 0)) for t in at.terms)
             # per-segment positional intersection (positions are complete per seg)
             for _, seg_pdf in pdf.groupby("seg", sort=False):
                 mf = _phrase_seg_match(seg_pdf, at.terms, at.slop)
@@ -733,7 +747,15 @@ class SearchEngine:
                 doc_parts.append(mf["doc_id"].to_numpy())
                 gid_parts.append(np.full(len(mf), at.gid, dtype=np.int32))
                 w_parts.append(w)
+        return doc_parts, gid_parts, w_parts
 
+    def _driver_score_contribs(
+        self, q: Query, a: str, contribs: tuple[list, list, list], n_groups: int,
+        excluded: np.ndarray | None, included: np.ndarray | None,
+    ) -> DataFrame:
+        """Aggregate per-(doc, gid) contributions → mm=100% → canonical top
+        page. Tail shared by the single- and multi-field driver paths."""
+        doc_parts, gid_parts, w_parts = contribs
         if not doc_parts:
             return self._empty_hits()
         frame = pd.DataFrame(
@@ -763,6 +785,17 @@ class SearchEngine:
             cutoff = float(cand["score"].iloc[depth - 1])
             cand = cand[cand["score"] >= cutoff]
         return self._driver_hydrate(cand, q)
+
+    def _driver_exhaustive(
+        self, q: Query, a: str, atoms: list[_Atom], excluded: np.ndarray | None = None,
+        included: np.ndarray | None = None,
+    ) -> DataFrame:
+        """Small-query exhaustive scoring (incl. phrase/proximity positional
+        matching) on the driver — same block decode, same sloppy-phrase
+        semantics, two point-scan jobs total."""
+        n_groups = len({at.gid for at in atoms})
+        contribs = self._driver_field_contrib(a, atoms, 1.0)
+        return self._driver_score_contribs(q, a, contribs, n_groups, excluded, included)
 
     def _expand_cached(self, a: str, pattern: str, kind: str, fuzzy_max: int = 1) -> list[str] | None:
         """Dictionary expansion against the driver-side cache (no Spark job);
@@ -829,10 +862,13 @@ class SearchEngine:
         local_topk = blocks.groupBy("seg").applyInPandas(scorer, out_schema)
         return self._finalize(local_topk, q, a)
 
-    def _search_exhaustive(
-        self, q: Query, a: str, atoms: list[_Atom], ex_terms: list[str] | None = None
-    ) -> DataFrame:
-        meta, n_groups = self._term_meta(a, atoms)
+    def _field_contrib_frames(
+        self, a: str, atoms: list[_Atom], boost: float
+    ) -> list[DataFrame]:
+        """Distributed per-(doc, gid) contribution frames of ONE analyzed
+        field × boost — shared by the single-field exhaustive plan and the
+        multi-field (edismax qf) exhaustive plan."""
+        meta, _ = self._term_meta(a, atoms)
         avgdl = self.stats[a]["avgdl"]
         N = self.stats[a]["N"]
         single = [at for at in atoms if len(at.terms) == 1]
@@ -843,7 +879,8 @@ class SearchEngine:
             terms = sorted({at.terms[0] for at in single})
             rows = decode_blocks_df(self._blocks(a, terms), with_positions=False)
             idf_df = self.spark.createDataFrame(
-                [(t, meta[t][0], meta[t][1]) for t in terms], "term string, gid int, idf double"
+                [(t, meta[t][0], boost * meta[t][1]) for t in terms],
+                "term string, gid int, idf double",
             )
             # broadcast the tiny per-query term table; score is a pure column expr
             scored = rows.join(F.broadcast(idf_df), "term").select(
@@ -861,27 +898,205 @@ class SearchEngine:
         for at in phrases:
             dfs = self._dfs_for_terms(a, sorted(set(at.terms)))
             # per-token sum — repeated phrase terms count per position
-            idf_sum = sum(bm25_idf(N, dfs.get(t, 0)) for t in at.terms)
+            idf_sum = boost * sum(bm25_idf(N, dfs.get(t, 0)) for t in at.terms)
             parts.append(self._phrase_contrib(a, at, idf_sum, avgdl))
+        return parts
 
-        contrib = parts[0]
-        for p in parts[1:]:
-            contrib = contrib.unionByName(p)
-        # mm=100% as a bitmask OR instead of countDistinct: one shuffle with
-        # full map-side combine (countDistinct plans a two-phase distinct
-        # aggregation). gids are dense 0..n_groups-1 and a query never has
-        # 64 AND-groups, so the mask fits a long.
-        scored = (
+    def _gmask_filter(self, contrib: DataFrame, gids: set[int]) -> DataFrame:
+        """mm=100% as a bitmask OR instead of countDistinct: one shuffle with
+        full map-side combine (countDistinct plans a two-phase distinct
+        aggregation). A query never has 64 AND-groups, so the mask fits a
+        long. The expected mask is built from the SURVIVING gid set, not
+        (1<<n)-1 — a group whose atoms all analyzed away (pure stopwords)
+        leaves a sparse gid set and must not doom every doc."""
+        full_mask = 0
+        for g in gids:
+            full_mask |= 1 << g
+        return (
             contrib.groupBy("doc_id")
             .agg(
                 F.sum("contrib").alias("score"),
                 F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), gid)")).alias("gmask"),
             )
-            .filter(F.col("gmask") == F.lit((1 << n_groups) - 1))
+            .filter(F.col("gmask") == F.lit(full_mask))
             .select("doc_id", "score")
         )
+
+    def _search_exhaustive(
+        self, q: Query, a: str, atoms: list[_Atom], ex_terms: list[str] | None = None
+    ) -> DataFrame:
+        parts = self._field_contrib_frames(a, atoms, 1.0)
+        contrib = parts[0]
+        for p in parts[1:]:
+            contrib = contrib.unionByName(p)
+        scored = self._gmask_filter(contrib, {at.gid for at in atoms})
         scored = self._anti_join_excluded(scored, a, ex_terms or [])
         return self._finalize(scored, q, a)
+
+    # ---- multi-field scoring (edismax qf) --------------------------------
+    def _validate_fields(self, q: Query) -> None:
+        base = None
+        for f in q.fields:
+            if f not in self.paths:
+                raise ValueError(
+                    f"unknown field index {f!r}; engine has {sorted(self.paths)}"
+                )
+            sig = (
+                self.stats[f]["N"],
+                self.stats[f]["n_segments"],
+                self.stats[f].get("seg_offset", 0),
+            )
+            if base is None:
+                base = sig
+            elif sig != base:
+                raise ValueError(
+                    "multi-field scoring requires field indexes built over the "
+                    f"same corpus (equal N/n_segments/seg_offset); got {base} vs "
+                    f"{sig} for {f!r}"
+                )
+
+    def _excluded_union(self, per: list, ex_by_f: dict[str, list[str]]) -> np.ndarray:
+        """Tombstones ∪ MUST_NOT doc ids across every scored field (a doc
+        deleted in any field's index, or containing an excluded term in any
+        field, is out — Lucene MUST_NOT over the whole boolean)."""
+        arrs = [self._excluded_ids(f, ex_by_f[f]) for f, _, _ in per]
+        arrs = [x for x in arrs if x.size]
+        if not arrs:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(arrs))
+
+    def _search_multifield(
+        self, q: Query, a0: str, mode: str, fast_ok: bool,
+        included: np.ndarray | None,
+    ) -> DataFrame:
+        """edismax qf executor: score q.groups across every index in
+        q.fields with per-field boosts. Soundness rests on the builder's
+        determinism: doc ids and segment assignment derive only from
+        (conv_id, turn_idx, n_segments) — never the analyzer — so indexes
+        built over the same corpus with equal n_segments share the doc-id
+        namespace and align segment-for-segment (_validate_fields enforces
+        it). Group semantics unchanged: mm=100% across the FIELD UNION (a
+        group matched in any field counts); each matching (field, term)
+        contributes boost_f·idf_f·bm25_tf_f. Reference shape: one boolean
+        over `attr_content` AND `text` (Test1.java:577-586) with edismax
+        qf boosts."""
+        self._validate_fields(q)
+        per: list[tuple[str, float, list[_Atom]]] = []
+        gids: set[int] = set()
+        for f, w in q.fields.items():
+            self._ensure_warm(f)
+            atoms = self._parse_atoms(q, f)
+            gids |= {at.gid for at in atoms}
+            per.append((f, float(w), atoms))
+        if not gids:
+            return self._empty_hits()
+        n_groups = len(gids)
+        has_phrase = any(len(at.terms) > 1 for _, _, atoms in per for at in atoms)
+        ex_by_f = {f: self._exclude_terms(q, f) for f, _, _ in per}
+        if mode == "auto" and fast_ok:
+            small = all(
+                self._small_enough(
+                    f,
+                    sorted({t for at in atoms for t in at.terms}) + ex_by_f[f],
+                    positional=any(len(at.terms) > 1 for at in atoms),
+                )
+                for f, _, atoms in per
+            )
+            if small:
+                excluded = self._excluded_union(per, ex_by_f)
+                return self._driver_multifield(q, per, n_groups, excluded, included)
+        small_ex = all(
+            not ex_by_f[f] or self._small_enough(f, ex_by_f[f]) for f, _, _ in per
+        )
+        if mode in ("wand", "auto") and not has_phrase and small_ex and fast_ok:
+            excluded = self._excluded_union(per, ex_by_f)
+            return self._search_multifield_wand(q, a0, per, n_groups, excluded, included)
+        return self._search_multifield_exhaustive(q, a0, per, gids, ex_by_f)
+
+    def _driver_multifield(
+        self, q: Query, per: list, n_groups: int,
+        excluded: np.ndarray | None, included: np.ndarray | None,
+    ) -> DataFrame:
+        """Driver fast path: per-field block decode + contribution concat —
+        one point-scan per field not yet in the block cache, then the same
+        pandas aggregate as the single-field driver exhaustive path."""
+        doc_parts: list = []
+        gid_parts: list = []
+        w_parts: list = []
+        for f, w, atoms in per:
+            d, g, ww = self._driver_field_contrib(f, atoms, w)
+            doc_parts += d
+            gid_parts += g
+            w_parts += ww
+        return self._driver_score_contribs(
+            q, self._route(q), (doc_parts, gid_parts, w_parts), n_groups,
+            excluded, included,
+        )
+
+    def _search_multifield_wand(
+        self, q: Query, a0: str, per: list, n_groups: int,
+        excluded: np.ndarray | None, included: np.ndarray | None,
+    ) -> DataFrame:
+        """Distributed multi-field WAND: one fused scorer per segment over
+        the UNION of every field's posting blocks (a `fld` column rides
+        along so meta lookups key on (field, term) — analyzed terms may
+        contain any byte, so the field can't be smuggled into the term
+        string; each term carries its own field's avgdl + boosted idf).
+        Valid because segments align across the field indexes
+        (_validate_fields) — the per-segment block-max bounds stay true
+        upper bounds of the summed cross-field score, so pruning never
+        changes results (identity-tested vs the exhaustive plan)."""
+        meta: dict[tuple[str, str], tuple[int, float, float]] = {}
+        blocks: DataFrame | None = None
+        cols = [
+            "seg", "term", "blk", "n", "first_doc", "last_doc", "max_tf", "min_dl",
+            "docs_bin", "tfs_bin", "dls_bin",
+        ]
+        for f, w, atoms in per:
+            meta_f, _ = self._term_meta(f, atoms)
+            if not meta_f:
+                continue
+            avgdl_f = self.stats[f]["avgdl"]
+            bl = self._blocks(f, list(meta_f)).select(*cols).withColumn("fld", F.lit(f))
+            blocks = bl if blocks is None else blocks.unionByName(bl)
+            for t, (gid, idf) in meta_f.items():
+                meta[(f, t)] = (gid, w * idf, avgdl_f)
+        if blocks is None:
+            return self._empty_hits()
+        scorer = wand.make_segment_scorer(
+            meta, n_groups, q.k + q.offset, self.stats[a0]["avgdl"], prune=True,
+            excluded=excluded if excluded is not None and excluded.size else None,
+            included=included,
+        )
+        out_schema = T.StructType(
+            [T.StructField("doc_id", T.LongType()), T.StructField("score", T.DoubleType())]
+        )
+        local_topk = blocks.groupBy("seg").applyInPandas(scorer, out_schema)
+        return self._finalize(local_topk, q, a0)
+
+    def _search_multifield_exhaustive(
+        self, q: Query, a0: str, per: list, gids: set[int],
+        ex_by_f: dict[str, list[str]],
+    ) -> DataFrame:
+        parts: list[DataFrame] = []
+        for f, w, atoms in per:
+            parts.extend(self._field_contrib_frames(f, atoms, w))
+        if not parts:
+            return self._empty_hits()
+        contrib = parts[0]
+        for p in parts[1:]:
+            contrib = contrib.unionByName(p)
+        scored = self._gmask_filter(contrib, gids)
+        for f, _, _ in per:
+            scored = self._anti_join_excluded(scored, f, ex_by_f[f])
+            if f != a0:  # _finalize anti-joins a0's tombstones already
+                tomb = self._tombstones(f)
+                if tomb.size:
+                    tdf = self.spark.createDataFrame(
+                        [(int(t),) for t in tomb], ["doc_id"]
+                    )
+                    scored = scored.join(F.broadcast(tdf), "doc_id", "left_anti")
+        return self._finalize(scored, q, a0)
 
     def _phrase_contrib(self, a: str, at: _Atom, idf_sum: float, avgdl: float) -> DataFrame:
         """Positional intersection (Q3/Q4): per-segment pandas evaluation —
@@ -921,7 +1136,7 @@ class SearchEngine:
 
     def _search_tf_sort(self, q: Query, a: str, ex_terms: list[str] | None = None) -> DataFrame:
         """Q8: sort=termfreq(text,t) desc, date desc (`SolrClientTool.java:147-151`)."""
-        term = analyze_text(q.groups[0][0], a)[0][0]
+        term = analyze_text(q.groups[0][0], self._analyzer_of(a))[0][0]
         rows = decode_blocks_df(self._blocks(a, [term])).select(
             "doc_id", F.col("tf").cast("double").alias("score")
         )

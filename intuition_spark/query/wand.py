@@ -203,7 +203,12 @@ def score_segment_topk(
             gd: dict = {}
             docs_list, w_list = [], []
             for t in ts:
-                d, w = t.docs_scores_in_range(lo, hi, avgdl)
+                # t.avgdl, not the global param: multi-field queries mix
+                # TermBlocks from different analyzed fields, each scored
+                # with its own field's average doc length (single-field
+                # scorers set t.avgdl = the global value, so this is
+                # behavior-identical there)
+                d, w = t.docs_scores_in_range(lo, hi, t.avgdl)
                 docs_list.append(d)
                 w_list.append(w)
             d = np.concatenate(docs_list)
@@ -270,7 +275,11 @@ def make_segment_scorer(
 ):
     """applyInPandas fn over seg: block rows → local top-k (doc_id, score).
 
-    term_meta: term -> (gid, idf) — broadcast-small, closed over.
+    term_meta: term -> (gid, idf) or (gid, idf, avgdl) — broadcast-small,
+    closed over. The 3-tuple form carries a per-term avgdl for multi-field
+    queries (terms of different analyzed fields share one scorer; each
+    scores against its own field's average doc length — the 2-tuple form
+    uses the global ``avgdl``).
     excluded: sorted int64 doc_ids (tombstones) to skip, broadcast-small.
     included: sorted int64 fq doc_ids (filterCache) — when set, ONLY these
     docs may enter the heap (the per-segment top-k is the top-k of the
@@ -279,8 +288,15 @@ def make_segment_scorer(
 
     def scorer(key, pdf: pd.DataFrame) -> pd.DataFrame:
         tbs = []
-        for term, tdf in pdf.groupby("term", sort=False):
-            gid, idf = term_meta[term]
+        # multi-field queries ship a `fld` column alongside `term` (a field
+        # name can't be smuggled INTO the term string — analyzed terms may
+        # contain any separator byte); meta is then keyed by (fld, term)
+        multifield = "fld" in pdf.columns
+        gcols = ["fld", "term"] if multifield else "term"
+        for tkey, tdf in pdf.groupby(gcols, sort=False):
+            gid, idf, *rest = term_meta[tuple(tkey) if multifield else tkey]
+            t_avgdl = rest[0] if rest else avgdl
+            term = tkey[1] if multifield else tkey
             # block ids are only unique per build task; first_doc is the true
             # global order (ranges are disjoint by construction)
             tdf = tdf.sort_values("first_doc")
@@ -293,7 +309,7 @@ def make_segment_scorer(
                     last=tdf["last_doc"].to_numpy(np.int64),
                     max_tf=tdf["max_tf"].to_numpy(np.int64),
                     min_dl=tdf["min_dl"].to_numpy(np.int64),
-                    avgdl=avgdl,
+                    avgdl=t_avgdl,
                     docs_bin=list(tdf["docs_bin"]),
                     tfs_bin=list(tdf["tfs_bin"]),
                     dls_bin=list(tdf["dls_bin"]),
