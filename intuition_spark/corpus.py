@@ -181,4 +181,14 @@ def reference_queries(k: int = 10) -> list[Query]:
         [("spark", "assistant"), ("query", "user"), ("error", "assistant")]
     ):
         qs.append(Query(f"fieldq_{i:02d}", "term", [[t]], k=k, field_eq={"role": r}))
+    # multi-field (edismax qf) shapes added in round 4: one boolean scored
+    # across the standard + ws indexes with per-field boosts (P8)
+    mf = [
+        ("term", [["query"]]),
+        ("and", [["spark"], ["query"]]),
+        ("or_groups", [["braf", "kras"], ["v600e", "g12c"]]),
+    ]
+    for i, (kind, groups) in enumerate(mf):
+        qs.append(Query(f"multif_{i:02d}", kind, groups, k=k,
+                        fields={"standard": 1.0, "ws": 0.5}))
     return qs

@@ -26,13 +26,14 @@ def tfidf_matrix(hits_toks: DataFrame, id_col: str = "doc_id", term_col: str = "
     """
     tf = hits_toks.groupBy(id_col, term_col).agg(F.count("*").alias("tf"))
     pdf = tf.toPandas()
+    # vectorized scatter fill — searchsorted maps each row to its (doc, term)
+    # cell in one shot (was the clustering path's only per-row Python loop)
     ids = np.sort(pdf[id_col].unique())
     vocab = np.sort(pdf[term_col].unique())
-    id_ix = {v: i for i, v in enumerate(ids)}
-    t_ix = {v: i for i, v in enumerate(vocab)}
     M = np.zeros((len(ids), len(vocab)), dtype=np.float64)
-    for r in pdf.itertuples(index=False):
-        M[id_ix[getattr(r, id_col)], t_ix[getattr(r, term_col)]] = r.tf
+    row_ix = np.searchsorted(ids, pdf[id_col].to_numpy())
+    col_ix = np.searchsorted(vocab, pdf[term_col].to_numpy())
+    M[row_ix, col_ix] = pdf["tf"].to_numpy()
     df_t = (M > 0).sum(axis=0)
     idf = np.log(1.0 + len(ids) / np.maximum(df_t, 1))
     X = M * idf

@@ -146,12 +146,16 @@ def _decode_mode() -> str:
     return _os.environ.get(DECODE_ENV, "stub")
 
 
+JPEG_SIG = b"\xff\xd8"
+
+
 def _decode_image(payload: bytes, width: int, height: int, mode: str = "stub") -> np.ndarray:
-    """Decoder dispatch: mode="real" routes PNG payloads through PIL when
-    importable, else the built-in pure-stdlib PNG reader; everything else
-    (and the default mode) uses the deterministic stub, so the gate and its
-    oracle are unchanged unless INTUITION_MM_DECODE=real is set."""
-    if mode == "real" and payload[:8] == PNG_SIG:
+    """Decoder dispatch: mode="real" routes PNG and JPEG payloads through
+    PIL when importable, else the built-in pure-stdlib readers (_decode_png
+    here; baseline-JPEG luma in functions/jpeg.py); everything else (and the
+    default mode) uses the deterministic stub, so the gate and its oracle
+    are unchanged unless INTUITION_MM_DECODE=real is set."""
+    if mode == "real" and (payload[:8] == PNG_SIG or payload[:2] == JPEG_SIG):
         try:
             import io
 
@@ -159,7 +163,11 @@ def _decode_image(payload: bytes, width: int, height: int, mode: str = "stub") -
 
             return np.asarray(Image.open(io.BytesIO(payload)).convert("L"), dtype=np.uint8)
         except ImportError:
-            return _decode_png(payload)
+            if payload[:8] == PNG_SIG:
+                return _decode_png(payload)
+            from intuition_spark.functions.jpeg import decode_jpeg_luma
+
+            return decode_jpeg_luma(payload)
     return _decode_image_stub(payload, width, height)
 
 

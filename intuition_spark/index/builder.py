@@ -300,15 +300,22 @@ def prepare_docs(
     analyzer: str = "standard",
     n_segments: int = 8,
     seg_offset: int = 0,
+    extra_meta_cols: list[str] | None = None,
 ) -> dict:
     """Stage 1: assign segments + dense doc ids, write the docs table.
 
     ``seg_offset`` places the new segments above an existing index's ids —
     used by incremental.merge_delta so delta blocks are encoded directly in
     their final doc-id namespace (ids are baked into the compressed streams).
+    ``extra_meta_cols`` pass additional stored (non-analyzed) metadata
+    columns through to the docs table — scalar or array-typed; array columns
+    serve ``field_eq`` predicates with array_contains semantics (the
+    reference's multi-valued `authors` field, SolrServiceImpl.java:397-404).
     """
     t0 = time.time()
-    df = transcripts.select("conv_id", "turn_idx", "role", "tool", "ts", "text").withColumn(
+    base_cols = ["conv_id", "turn_idx", "role", "tool", "ts", "text"]
+    extra = [c for c in (extra_meta_cols or []) if c not in base_cols]
+    df = transcripts.select(*base_cols, *extra).withColumn(
         "seg",
         (F.pmod(F.xxhash64("conv_id"), F.lit(n_segments)) + F.lit(seg_offset)).cast("int"),
     )
@@ -331,6 +338,7 @@ def prepare_docs(
         "analyzer": analyzer,
         "n_segments": n_segments,
         "seg_offset": seg_offset,
+        "extra_meta_cols": extra,
         "k1": K1,
         "b": B,
         "layout_version": LAYOUT_VERSION,
@@ -442,11 +450,15 @@ def build_index(
     n_segments: int = 8,
     with_positions: bool = True,
     segs_per_job: int = 8,
+    extra_meta_cols: list[str] | None = None,
 ) -> IndexPaths:
     """Full build: docs → postings → dictionary."""
     paths = IndexPaths(out_dir)
     os.makedirs(out_dir, exist_ok=True)
-    prepare_docs(spark, transcripts, paths, analyzer=analyzer, n_segments=n_segments)
+    prepare_docs(
+        spark, transcripts, paths, analyzer=analyzer, n_segments=n_segments,
+        extra_meta_cols=extra_meta_cols,
+    )
     build_postings(spark, paths, with_positions=with_positions, segs_per_job=segs_per_job)
     build_dictionary(spark, paths)
     return paths

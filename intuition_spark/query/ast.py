@@ -49,6 +49,18 @@ KINDS = ("term", "and", "or_groups", "phrase", "proximity", "wildcard", "regex",
 # non-analyzed transcript fields; `text` is the default scored field)
 FIELD_EQ_COLS = ("role", "tool", "conv_id")
 
+# extension point for deployments indexing EXTRA stored metadata columns
+# (builder `extra_meta_cols`): register the column name here and field_eq
+# accepts it; the ENGINE decides semantics from the docs schema — equality
+# for scalar columns, array_contains for array columns (the reference's
+# multi-valued `authors:"…"` contains-match, SolrServiceImpl.java:397-404).
+EXTRA_FIELD_EQ_COLS: set[str] = set()
+
+
+def register_field_col(name: str) -> None:
+    """Allow ``field_eq`` predicates on an extra stored metadata column."""
+    EXTRA_FIELD_EQ_COLS.add(name)
+
 # Lucene SloppyPhraseScorer parity (1/(1+distance) sloppy-freq) is the
 # default; "uniform" restores the round-1 simplification. Shared by
 # query/engine.py and oracle/bm25_oracle.py so both sides always agree.
@@ -110,9 +122,10 @@ class Query:
                     "(constant-score/termfreq queries are single-field)"
                 )
         for f in self.field_eq or {}:
-            if f not in FIELD_EQ_COLS:
+            if f not in FIELD_EQ_COLS and f not in EXTRA_FIELD_EQ_COLS:
                 raise ValueError(
-                    f"field_eq supports {sorted(FIELD_EQ_COLS)}, got {f!r}"
+                    f"field_eq supports {sorted(FIELD_EQ_COLS)} plus columns "
+                    f"registered via register_field_col(), got {f!r}"
                 )
 
     @property

@@ -233,6 +233,16 @@ class SearchEngine:
             self._tomb_cache = {key: cached}
         return cached
 
+    def _field_cond(self, a: str, fcol: str, fval):
+        """Spark predicate for one field_eq entry, schema-driven: equality on
+        scalar columns, array_contains on array columns (the reference's
+        multi-valued `authors:"…"` contains-match, SolrServiceImpl.java:
+        397-404). fval=None means IS NULL (the require_no_tool shape)."""
+        dt = self._docs(a).schema[fcol].dataType
+        if isinstance(dt, T.ArrayType):
+            return F.array_contains(F.col(fcol), fval)
+        return F.col(fcol).isNull() if fval is None else (F.col(fcol) == F.lit(fval))
+
     def _dfs_for_terms(self, a: str, terms: list[str]) -> dict[str, int]:
         cached = self._dict_cache.get(a)
         if cached is not None:
@@ -283,7 +293,9 @@ class SearchEngine:
         Mirrors lifecycle step 4 of `/query2` (hydrate by id then order,
         `controller/ArticleController.java:465-473`).
         """
-        docs = self._docs(a).select("doc_id", "doc", "conv_id", "turn_idx", "ts", "role", "tool")
+        sel = ["doc_id", "doc", "conv_id", "turn_idx", "ts", "role", "tool"]
+        extra = [c for c in (q.field_eq or {}) if c not in sel]
+        docs = self._docs(a).select(*sel, *extra)
         tomb = self._tombstones(a)
         if tomb.size:
             tdf = self.spark.createDataFrame([(int(t),) for t in tomb], ["doc_id"])
@@ -296,7 +308,7 @@ class SearchEngine:
         if q.require_no_tool:
             docs = docs.filter(F.col("tool").isNull())
         for fcol, fval in (q.field_eq or {}).items():
-            docs = docs.filter(F.col(fcol) == F.lit(fval))
+            docs = docs.filter(self._field_cond(a, fcol, fval))
         out = scored.join(docs, "doc_id", "inner")
         keys = [F.col(c).desc() if c in ("score", "tf") else F.col(c) for c in order]
         out = out.orderBy(*keys, F.col("conv_id").asc(), F.col("turn_idx").asc()).select(
@@ -362,7 +374,11 @@ class SearchEngine:
             key = (a, fcol, fval, state)
             if key not in self._fq_cache:
                 cached_docs = self._doc_cache.get(a)
-                if cached_docs is not None:
+                # extra metadata columns (register_field_col) aren't in the
+                # doc cache's fixed column set — resolve those distributed
+                if cached_docs is not None and (
+                    fcol == "__ts_after__" or fcol in cached_docs.columns
+                ):
                     if fcol == "__ts_after__":
                         # toPandas yields NAIVE wall times in the SESSION
                         # timezone (not necessarily UTC — nothing forces the
@@ -388,10 +404,8 @@ class SearchEngine:
                 else:
                     if fcol == "__ts_after__":
                         cond = F.col("ts") >= F.lit(fval)
-                    elif fval is None:
-                        cond = F.col(fcol).isNull()
                     else:
-                        cond = F.col(fcol) == F.lit(fval)
+                        cond = self._field_cond(a, fcol, fval)
                     pdf = (
                         self._docs(a).filter(cond).select("doc_id")
                         .limit(self.FQ_MAX_IDS + 1).toPandas()
@@ -1145,13 +1159,15 @@ class SearchEngine:
             tdf = self.spark.createDataFrame([(int(t),) for t in tomb], ["doc_id"])
             rows = rows.join(F.broadcast(tdf), "doc_id", "left_anti")
         rows = self._anti_join_excluded(rows, a, ex_terms or [])
-        docs = self._docs(a).select("doc_id", "doc", "conv_id", "turn_idx", "ts", "role", "tool")
+        sel = ["doc_id", "doc", "conv_id", "turn_idx", "ts", "role", "tool"]
+        extra = [c for c in (q.field_eq or {}) if c not in sel]
+        docs = self._docs(a).select(*sel, *extra)
         if q.ts_after is not None:
             docs = docs.filter(F.col("ts") >= F.lit(q.ts_after))
         if q.require_no_tool:
             docs = docs.filter(F.col("tool").isNull())
         for fcol, fval in (q.field_eq or {}).items():
-            docs = docs.filter(F.col(fcol) == F.lit(fval))
+            docs = docs.filter(self._field_cond(a, fcol, fval))
         out = rows.join(docs, "doc_id")
         if q.filter_docs is not None:
             flt = self.spark.createDataFrame([(d,) for d in q.filter_docs], ["doc"])

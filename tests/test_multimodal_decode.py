@@ -108,3 +108,82 @@ def test_extract_features_real_mode(spark, monkeypatch):
     exp = np.resize(px.astype(np.float64).sum(axis=0), 16) / 256.0
     got = np.asarray(rows[0]["feature"], dtype=np.float64)
     assert np.allclose(got, exp)
+
+
+# ---- JPEG (baseline, functions/jpeg.py) -----------------------------------
+import sys as _sys
+import os as _os
+
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+from jpeg_ref_encoder import encode_jpeg  # noqa: E402 (test-side encoder)
+
+from intuition_spark.functions.jpeg import JpegError, decode_jpeg_luma  # noqa: E402
+
+
+def _test_image(h=20, w=30, seed=4):
+    rng = np.random.default_rng(seed)
+    img = (np.add.outer(np.arange(h) * 6, np.arange(w) * 4) % 256).astype(np.uint8)
+    return (img * 0.7 + rng.integers(0, 60, img.shape)).astype(np.uint8)
+
+
+def test_jpeg_roundtrip_grayscale():
+    img = _test_image()
+    out = decode_jpeg_luma(encode_jpeg([img], np.ones((8, 8))))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_jpeg_nonuniform_quant_table_order():
+    """A non-uniform quant table catches zigzag-order mistakes in DQT
+    handling (a uniform table is order-blind)."""
+    img = _test_image(seed=7)
+    q = (1 + (np.add.outer(np.arange(8), np.arange(8)) % 3)).astype(np.float64)
+    out = decode_jpeg_luma(encode_jpeg([img], q))
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.max() <= 10 and err.mean() <= 2.0
+
+
+def test_jpeg_color_444_returns_luma():
+    img = _test_image(seed=5)
+    cb, cr = np.full_like(img, 100), np.full_like(img, 140)
+    out = decode_jpeg_luma(encode_jpeg([img, cb, cr], np.ones((8, 8))))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_jpeg_restart_markers():
+    img = _test_image(h=24, w=40, seed=6)
+    out = decode_jpeg_luma(encode_jpeg([img], np.ones((8, 8)), restart_interval=2))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_jpeg_rejects_progressive_and_garbage():
+    with pytest.raises(JpegError):
+        decode_jpeg_luma(b"not a jpeg")
+    img = _test_image(h=8, w=8)
+    payload = bytearray(encode_jpeg([img], np.ones((8, 8))))
+    i = payload.find(b"\xff\xc0")
+    payload[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    with pytest.raises(JpegError, match="progressive"):
+        decode_jpeg_luma(bytes(payload))
+
+
+def test_extract_features_real_mode_jpeg(spark, monkeypatch):
+    """End-to-end: a real JPEG payload through the mapInPandas feature
+    pipeline with INTUITION_MM_DECODE=real (no PIL in this sandbox, so this
+    exercises the from-scratch baseline decoder on executors)."""
+    monkeypatch.setenv("INTUITION_MM_DECODE", "real")
+    img = _test_image(h=8, w=8, seed=11)
+    payload = encode_jpeg([img], np.ones((8, 8)))
+    media = spark.createDataFrame(
+        [("m0002", "image", "image/jpeg", 8, 8, 0, bytearray(payload))], MEDIA_SCHEMA
+    )
+    rows = extract_features(media, feat_dim=16).collect()
+    decoded = decode_jpeg_luma(payload)  # driver-side reference decode
+    exp = np.resize(decoded.astype(np.float64).sum(axis=0), 16) / 256.0
+    got = np.asarray(rows[0]["feature"], dtype=np.float64)
+    assert np.allclose(got, exp)
+    # and the real pixels, not the stub's byte-derived fake
+    stub_exp = np.resize(
+        np.frombuffer(payload, dtype=np.uint8)[: 64].astype(np.float64), (8, 8)
+    )
+    assert not np.allclose(got, np.resize(stub_exp.sum(axis=0), 16) / 256.0)
