@@ -266,6 +266,47 @@ def simhash_candidates(
     return pairs.select("a_id", "b_id", hamming.alias("hamming"))
 
 
+def _capped_bucket_tasks(keyed: DataFrame, max_bucket: int) -> DataFrame:
+    """Fan oversize sign-LSH buckets into bounded chunk-pair GEMM tasks.
+
+    Bucket keys live in a BOUNDED domain (table_id << 8 | plane bits: at most
+    n_tables·2^n_planes distinct keys), so per-bucket counts are always a
+    broadcastable frame — chunk assignment is a map-side broadcast join and
+    the wide (id, vec, key) frame is never exchanged an extra time (the only
+    big shuffle remains the task groupBy, exactly like the uncapped plan; the
+    counts branch costs one extra columnar scan, which beats a second wide
+    exchange at any scale). Chunks are hash-assigned with a 2× safety factor
+    (n_chunks = ceil(2·nb/max_bucket) when nb > max_bucket), so chunk sizes
+    concentrate at max_bucket/2 and a task (two chunks) exceeding 2·max_bucket
+    needs a ~4σ deviation. Within-chunk tasks (ci == cj) emit all pairs of
+    one chunk; cross tasks only spanning pairs — no pair lost or
+    double-emitted (tests pin identity vs the uncapped plan)."""
+    sizes = keyed.groupBy("key").agg(F.count("*").alias("nb"))
+    return (
+        keyed.join(F.broadcast(sizes), "key")
+        .withColumn(
+            "n_chunks",
+            F.when(F.col("nb") <= max_bucket, F.lit(1))
+            .otherwise(F.ceil(F.col("nb") * 2 / F.lit(max_bucket)))
+            .cast("int"),
+        )
+        .withColumn("chunk", F.pmod(F.xxhash64("a_id"), F.col("n_chunks")).cast("int"))
+        .withColumn(
+            "cpair",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, n_chunks - 1), "
+                    "j -> struct(least(chunk, j) AS ci, greatest(chunk, j) AS cj))"
+                )
+            ),
+        )
+        .select(
+            "a_id", "va", "na", "key", "chunk",
+            F.col("cpair.ci").alias("ci"), F.col("cpair.cj").alias("cj"),
+        )
+    )
+
+
 def embedding_near_duplicates(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -291,14 +332,16 @@ def embedding_near_duplicates(
     threshold that is 100× more bytes; measured 1.6 GB → 12 MB at the gate
     config). Only near-threshold pairs leave the bucket task, then a
     (a_id, b_id) groupBy dedupes pairs that met in several tables. Skew
-    control: a bucket bigger than ``max_bucket`` is split into even chunks
-    (row_number within the bucket, so the bound is EXACT, not probabilistic)
-    and every chunk PAIR becomes its own task — within-chunk tasks emit all
+    control: a bucket bigger than ``max_bucket`` is split into hash-assigned
+    chunks (2× safety factor; see :func:`_capped_bucket_tasks` — assignment
+    is a map-side broadcast join because the bucket-key domain is bounded,
+    so the plan keeps ONE wide shuffle exactly like the uncapped path) and
+    every chunk PAIR becomes its own task — within-chunk tasks emit all
     pairs of one chunk, cross-chunk tasks only pairs spanning the two, so no
     pair is lost or double-emitted and a degenerate hash table (all vectors
-    in one bucket) can never create a single monster GEMM task: task input
-    is ≤ 2·max_bucket rows (tests/test_functions.py pins both the bound and
-    the result identity vs an uncapped run).
+    in one bucket) can never create a single monster GEMM task
+    (tests/test_functions.py pins both the task bound and the result
+    identity vs an uncapped run).
 
     Recall economics: per-plane collision probability for
     angle θ is 1 − θ/π, per-table p^n_planes, overall 1 − (1 − p^P)^T —
@@ -335,33 +378,7 @@ def embedding_near_duplicates(
     margin = threshold - 1.5 * 10.0 ** (-round_dp)
 
     if max_bucket:
-        # even chunking within each bucket (exact: row_number % n_chunks),
-        # then fan each member to every chunk-PAIR task containing its chunk
-        from pyspark.sql import Window
-
-        wc = Window.partitionBy("key")
-        wr = Window.partitionBy("key").orderBy("a_id")
-        keyed = (
-            keyed.withColumn(
-                "n_chunks", F.ceil(F.count("*").over(wc) / F.lit(max_bucket)).cast("int")
-            )
-            .withColumn(
-                "chunk", ((F.row_number().over(wr) - 1) % F.col("n_chunks")).cast("int")
-            )
-            .withColumn(
-                "cpair",
-                F.explode(
-                    F.expr(
-                        "transform(sequence(0, n_chunks - 1), "
-                        "j -> struct(least(chunk, j) AS ci, greatest(chunk, j) AS cj))"
-                    )
-                ),
-            )
-            .select(
-                "a_id", "va", "na", "key", "chunk",
-                F.col("cpair.ci").alias("ci"), F.col("cpair.cj").alias("cj"),
-            )
-        )
+        keyed = _capped_bucket_tasks(keyed, max_bucket)
     else:
         keyed = (
             keyed.withColumn("chunk", F.lit(0))

@@ -213,17 +213,17 @@ def test_embedding_near_dup_bucket_cap_identity(spark):
 
 def test_embedding_near_dup_bucket_cap_bounds_tasks(spark):
     """With max_bucket=m, no (key, ci, cj) GEMM task may receive more than
-    2·ceil(bucket/n_chunks) ≤ 2·m rows, even when one bucket holds the whole
-    corpus."""
+    ~2·m rows even when one bucket holds the whole corpus — asserted on the
+    REAL task fan-out (dedup._capped_bucket_tasks, the same frame the
+    applyInPandas groups over; deterministic for fixed ids)."""
     from pyspark.sql import functions as SF
+
+    from intuition_spark.functions import portable as PT
 
     n, m = 40, 7
     base = np.arange(1, 9, dtype=np.float64)
     rows = [(i, [float(x) for x in base]) for i in range(n)]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    # reproduce the library's task fan-out shape and measure group sizes
-    from intuition_spark.functions import portable as PT
-
     tables = PT.signlsh_tables(4, 6, 8, seed=11)
     norm = SF.sqrt(SF.aggregate("embedding", SF.lit(0.0), lambda a, x: a + x.cast("double") * x))
     keyed = emb.select(
@@ -231,20 +231,12 @@ def test_embedding_near_dup_bucket_cap_bounds_tasks(spark):
         SF.explode(SF.array(*[(SF.lit(t << 8) + PT.s_signlsh_bits("embedding", planes))
                               for t, planes in enumerate(tables)])).alias("key"),
     )
-    from pyspark.sql import Window
-
-    wc = Window.partitionBy("key")
-    wr = Window.partitionBy("key").orderBy("a_id")
-    tasks = (
-        keyed.withColumn("n_chunks", SF.ceil(SF.count("*").over(wc) / SF.lit(m)).cast("int"))
-        .withColumn("chunk", ((SF.row_number().over(wr) - 1) % SF.col("n_chunks")).cast("int"))
-        .withColumn("cpair", SF.explode(SF.expr(
-            "transform(sequence(0, n_chunks - 1), "
-            "j -> struct(least(chunk, j) AS ci, greatest(chunk, j) AS cj))")))
-        .groupBy("key", "cpair.ci", "cpair.cj").count()
-    )
+    tasks = dedup._capped_bucket_tasks(keyed, m).groupBy("key", "ci", "cj").count()
     max_task = tasks.agg(SF.max("count")).collect()[0][0]
     assert max_task <= 2 * m
+    # every bucket really was oversize (all vectors parallel -> one bucket
+    # per table), so the cap actually engaged
+    assert tasks.count() > 4
 
 
 def test_fnv_batch_nul_fallback():
