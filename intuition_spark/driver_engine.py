@@ -300,6 +300,81 @@ def fts_engine_multifield(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.select("doc", F.round("score", 4).alias("score"))
 
 
+_TT_DELTA_MOD = 17  # doc_id % 17 == 0 rows get rewritten by the delta
+
+
+def get_time_travel_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
+    """Documents index + a deterministic delta commit, opened AS OF snapshot 1
+    (pre-delta). The delta rewrites every doc_id%{mod}==0 row's text to be a
+    dense match for the gate query ('window sort …'), so if snapshot pruning
+    leaked even one delta segment, tombstone, or stat, those docs would storm
+    the top-k and the oracle (plain BM25 over the ORIGINAL corpus) would
+    mismatch. Cached like the other gate indexes."""
+    from intuition_spark.driver_gate import publish_atomically, tmp_cache_path
+    from intuition_spark.index.builder import LAYOUT_VERSION, IndexPaths
+    from intuition_spark.index.incremental import merge_delta
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    ix_tt = tmp_cache_path(
+        "ix_tt", src, f"v{LAYOUT_VERSION}d{_DOCS_VARIANT}m{_TT_DELTA_MOD}"
+    )
+    if ix_tt in _ENGINES:
+        return _ENGINES[ix_tt]
+
+    def _build(tmp: str) -> None:
+        build_index(
+            spark, documents_as_transcripts(spark, sf_dir), tmp, analyzer="ws", n_segments=4
+        )
+        delta = (
+            documents_as_transcripts(spark, sf_dir)
+            .filter(F.col("conv_id").cast("long") % _TT_DELTA_MOD == 0)
+            .withColumn("text", F.lit("window sort window sort window"))
+            .withColumn("ts", F.lit("2025-06-01 00:00:00").cast("timestamp"))
+        )
+        merge_delta(spark, IndexPaths(tmp), delta)
+
+    publish_atomically(ix_tt, _build, marker="stats.json")
+    eng = SearchEngine(spark, {"ws": ix_tt}, as_of=1)
+    _ENGINES[ix_tt] = eng
+    return eng
+
+
+@register(
+    "fts_engine_time_travel",
+    f"""
+WITH {_BM25_CTES},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term IN ('window','sort')
+       GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (c.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({K1} + 1.0)
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * s.dl / c.avgdl)) ) AS score,
+         count(*) AS ng
+  FROM tf JOIN df USING(term) JOIN doc_stats s USING(doc_id) CROSS JOIN corpus c
+  GROUP BY tf.doc_id)
+SELECT doc_id || ':0' AS doc, round(score, 4) AS score
+FROM scored WHERE ng = 2
+ORDER BY score DESC, CAST(doc_id AS VARCHAR) LIMIT 10
+""",
+    gated=False,
+)
+def fts_engine_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel through the full engine (Iceberg snapshot /
+    GlobalTimestamp analogue, SURVEY §1.4): the index receives a delta commit
+    that rewrites every 17th doc's text into a dense `window sort` match, yet
+    the AS-OF-snapshot-1 view must return exactly the pre-delta BM25 top-10 —
+    the oracle is plain from-scratch BM25 over the ORIGINAL documents, so any
+    leak of delta segments, tombstones, or post-commit df/N/avgdl into the
+    as-of view mismatches. (EXTRA registry: the driver's 50-entry gate window
+    is full; tests/test_gate_extra.py runs the same dual-engine identity.)"""
+    eng = get_time_travel_engine(spark, sf_dir)
+    q = Query("gate_tt", "and", [["window"], ["sort"]], k=10, analyzer="ws")
+    hits = eng.search(q, mode="wand")
+    return hits.select("doc", F.round("score", 4).alias("score"))
+
+
 @register(
     "fts_engine_spell",
     f"""

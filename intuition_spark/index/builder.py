@@ -48,7 +48,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from intuition_spark.analysis.analyzers import analyze_flat, analyze_text
-from intuition_spark.index import codec
+from intuition_spark.index import codec, snapshots
 
 SEG_SHIFT = 40  # doc_id = (seg << 40) | row_in_segment
 K1 = 1.2
@@ -461,6 +461,8 @@ def build_index(
     )
     build_postings(spark, paths, with_positions=with_positions, segs_per_job=segs_per_job)
     build_dictionary(spark, paths)
+    with open(paths.stats) as f:
+        snapshots.append_snapshot(out_dir, "build", json.load(f))
     return paths
 
 

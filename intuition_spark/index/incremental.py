@@ -28,6 +28,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from intuition_spark.index import snapshots
 from intuition_spark.index.builder import (
     IndexPaths,
     build_dictionary,
@@ -71,11 +72,15 @@ def merge_delta(
     if n_delta == 0:
         return {"new_segs": [], "n_delta": 0, "n_tombstoned": 0}
 
-    # 1. tombstone superseded keys in existing docs
+    # 1. tombstone superseded keys in existing docs, stamped with the id this
+    #    commit WILL get (stamp-then-log: a crash between the write and the
+    #    snapshot append leaves rows with an id above every logged snapshot —
+    #    invisible to as-of reads; the latest-read path ignores commit_id)
+    snap_id = snapshots.next_snapshot_id(paths.root)
     existing = spark.read.parquet(paths.docs)
     superseded = existing.join(
         delta.select("conv_id", "turn_idx"), ["conv_id", "turn_idx"], "left_semi"
-    ).select("doc_id", "conv_id", "turn_idx")
+    ).select("doc_id", "conv_id", "turn_idx", F.lit(snap_id).alias("commit_id"))
     n_tomb = superseded.count()
     if n_tomb:
         superseded.write.mode("append").parquet(tombstones_path(paths))
@@ -114,7 +119,13 @@ def merge_delta(
     stats["N"] = int(n_total)
     with open(paths.stats, "w") as f:
         json.dump(stats, f, indent=1)
-    return {"new_segs": new_segs, "n_delta": n_delta, "n_tombstoned": int(n_tomb)}
+    snap = snapshots.append_snapshot(paths.root, "append", stats, n_tombstones_added=int(n_tomb))
+    return {
+        "new_segs": new_segs,
+        "n_delta": n_delta,
+        "n_tombstoned": int(n_tomb),
+        "snapshot_id": snap["snapshot_id"],
+    }
 
 
 def compact(spark: SparkSession, paths: IndexPaths, segs_per_job: int = 8) -> None:
@@ -136,8 +147,15 @@ def compact(spark: SparkSession, paths: IndexPaths, segs_per_job: int = 8) -> No
     prepare_docs(spark, live, tmp, analyzer=stats["analyzer"], n_segments=stats["n_segments"])
     build_postings(spark, tmp, segs_per_job=segs_per_job)
     build_dictionary(spark, tmp)
+    # carry the snapshot log through the swap, then commit a 'replace'
+    # snapshot: the rewrite destroyed every ancestor's data files, so all
+    # prior snapshots expire (Iceberg: rewrite_data_files + expire_snapshots)
+    if os.path.exists(snapshots.log_path(paths.root)):
+        shutil.copy2(snapshots.log_path(paths.root), snapshots.log_path(tmp.root))
     old = paths.root + "_old"
     shutil.rmtree(old, ignore_errors=True)
     os.rename(paths.root, old)
     os.rename(tmp.root, paths.root)
     shutil.rmtree(old, ignore_errors=True)
+    with open(paths.stats) as f:
+        snapshots.append_snapshot(paths.root, "replace", json.load(f))

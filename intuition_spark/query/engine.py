@@ -103,13 +103,30 @@ class SearchEngine:
     FQ_MAX_IDS = int(os.environ.get("INTUITION_FQ_MAX_IDS", "2000000"))
 
     def __init__(
-        self, spark: SparkSession, index_dirs: dict[str, str] | str, cache_dictionary: bool = True
+        self,
+        spark: SparkSession,
+        index_dirs: dict[str, str] | str,
+        cache_dictionary: bool = True,
+        as_of: int | None = None,
+        as_of_ts: float | None = None,
     ):
+        """``as_of``/``as_of_ts`` open a TIME-TRAVEL view: queries see exactly
+        the index as of that snapshot (by id, or latest commit ≤ a unix ts) —
+        docs/postings pruned to the snapshot's segments (a partition filter:
+        segment ids are monotonic and immutable), tombstones cut at the
+        snapshot's commit id, and BM25 stats (N/avgdl) frozen from the
+        snapshot record, so scores are rank-identical to what the live engine
+        returned then. A ts selector is pinned to its resolved id at
+        construction; refresh() keeps the view stable. Snapshots expired by a
+        compaction raise (their data files were rewritten)."""
         if isinstance(index_dirs, str):
             index_dirs = {"standard": index_dirs}
         self.spark = spark
         self.paths: dict[str, IndexPaths] = {a: IndexPaths(d) for a, d in index_dirs.items()}
         self.stats: dict[str, dict] = {}
+        self._as_of_req = (as_of, as_of_ts)
+        self._as_of_pinned: dict[str, int] = {}
+        self._snap: dict[str, dict | None] = {}
         self._cache_dictionary = cache_dictionary
         self._dict_cache: dict[str, dict[str, int]] = {}
         self._doc_cache: dict[str, pd.DataFrame] = {}
@@ -131,6 +148,30 @@ class SearchEngine:
         for a, p in self.paths.items():
             with open(p.stats) as f:
                 self.stats[a] = json.load(f)
+            snap = None
+            if self._as_of_req != (None, None):
+                from intuition_spark.index import snapshots as snaplog
+
+                pinned = self._as_of_pinned.get(a)
+                snap = (
+                    snaplog.resolve(p.root, as_of=pinned)
+                    if pinned is not None
+                    else snaplog.resolve(
+                        p.root, as_of=self._as_of_req[0], as_of_ts=self._as_of_req[1]
+                    )
+                )
+                self._as_of_pinned[a] = snap["snapshot_id"]
+                # freeze corpus stats at the snapshot: scoring (idf via N,
+                # length norm via avgdl) must match the live engine AT that
+                # commit, not today's corpus
+                st = self.stats[a]
+                st["n_segments"] = snap["n_segments"]
+                st["N"] = snap["N"]
+                if snap.get("avgdl") is not None:
+                    st["avgdl"] = snap["avgdl"]
+                if snap.get("total_tokens") is not None:
+                    st["total_tokens"] = snap["total_tokens"]
+            self._snap[a] = snap
 
     def _ensure_warm(self, a: str) -> None:
         """Build the driver-side dictionary/doc caches + prime the postings
@@ -143,7 +184,7 @@ class SearchEngine:
         if not self._cache_dictionary:
             return
         p = self.paths[a]
-        dic = self.spark.read.parquet(p.dictionary).select("term", "df", "cf")
+        dic = self._dictionary_df(a).select("term", "df", "cf")
         if dic.count() <= self.DICT_CACHE_MAX_TERMS:
             pdf = dic.toPandas()
             self._dict_cache[a] = dict(
@@ -155,7 +196,7 @@ class SearchEngine:
             )
         if self.stats[a]["N"] <= self.DOC_CACHE_MAX_DOCS:
             self._doc_cache[a] = (
-                self.spark.read.parquet(p.docs)
+                self._docs(a)
                 .select("doc_id", "doc", "conv_id", "turn_idx", "ts", "role", "tool")
                 .toPandas()
                 .set_index("doc_id", drop=False)
@@ -206,6 +247,12 @@ class SearchEngine:
         if df is None:
             df = self.spark.read.parquet(self.paths[a].postings)
             self._postings_reader[a] = df
+        snap = self._snap.get(a)
+        if snap is not None:
+            # snapshot visibility = seg < n_segments(commit): segment ids are
+            # monotonic and segments immutable, so this is pure partition
+            # pruning — an as-of scan lists/reads nothing newer
+            df = df.filter(F.col("seg") < snap["n_segments"])
         return df.filter(F.col("term").isin(terms))
 
     def _docs(self, a: str) -> DataFrame:
@@ -213,7 +260,29 @@ class SearchEngine:
         if df is None:
             df = self.spark.read.parquet(self.paths[a].docs)
             self._docs_reader[a] = df
+        snap = self._snap.get(a)
+        if snap is not None:
+            df = df.filter(F.col("seg") < snap["n_segments"])
         return df
+
+    def _dictionary_df(self, a: str) -> DataFrame:
+        """(term, df, cf[, max_tf]) visible to this engine's view. Latest view
+        reads the stored dictionary table; an as-of view re-aggregates it from
+        posting-block metadata under the snapshot's seg partition filter (the
+        dictionary is derived data rebuilt wholesale per commit, so the stored
+        table reflects ONLY the latest snapshot — block metadata is the
+        per-segment source of truth and needs no decode)."""
+        snap = self._snap.get(a)
+        if snap is None:
+            return self.spark.read.parquet(self.paths[a].dictionary)
+        blocks = self.spark.read.parquet(self.paths[a].postings).filter(
+            F.col("seg") < snap["n_segments"]
+        )
+        return blocks.groupBy("term").agg(
+            F.sum("n").alias("df"),
+            F.sum("tf_sum").alias("cf"),
+            F.max("max_tf").alias("max_tf"),
+        )
 
     def _tombstones(self, a: str) -> np.ndarray:
         """Sorted doc_ids deleted by incremental upserts (empty if none).
@@ -224,11 +293,24 @@ class SearchEngine:
         p = _os.path.join(self.paths[a].root, "tombstones")
         if not _os.path.exists(p):
             return np.empty(0, dtype=np.int64)
+        snap = self._snap.get(a)
         mtime = _os.path.getmtime(p)
-        key = (a, mtime)
+        key = (a, mtime, snap["snapshot_id"] if snap else None)
         cached = self._tomb_cache.get(key)
         if cached is None:
-            ids = self.spark.read.parquet(p).select("doc_id").toPandas()["doc_id"].to_numpy()
+            df = self.spark.read.parquet(p)
+            if snap is not None:
+                # deleted-as-of = rows stamped at or before this commit;
+                # legacy unstamped rows read as commit 0 (always deleted).
+                # mergeSchema covers mixed stamped/unstamped file sets.
+                df = self.spark.read.option("mergeSchema", "true").parquet(p)
+                cid = (
+                    F.coalesce(F.col("commit_id"), F.lit(0))
+                    if "commit_id" in df.columns
+                    else F.lit(0)
+                )
+                df = df.filter(cid <= snap["snapshot_id"])
+            ids = df.select("doc_id").toPandas()["doc_id"].to_numpy()
             cached = np.sort(ids.astype(np.int64))
             self._tomb_cache = {key: cached}
         return cached
@@ -248,7 +330,7 @@ class SearchEngine:
         if cached is not None:
             return {t: cached.get(t, (0, 0))[0] for t in terms}
         rows = (
-            self.spark.read.parquet(self.paths[a].dictionary)
+            self._dictionary_df(a)
             .filter(F.col("term").isin(terms))
             .select("term", "df")
             .collect()
@@ -257,7 +339,7 @@ class SearchEngine:
 
     def expand_dictionary(self, a: str, pattern: str, kind: str, fuzzy_max: int = 1) -> list[str]:
         """Wildcard/regex/fuzzy expansion by dictionary scan (Q5-Q7)."""
-        dic = self.spark.read.parquet(self.paths[a].dictionary)
+        dic = self._dictionary_df(a)
         p = pattern.lower()
         if kind == "wildcard":
             # anchor a literal prefix for pushdown, then exact fnmatch via RLIKE
