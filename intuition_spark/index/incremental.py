@@ -117,6 +117,11 @@ def merge_delta(
     n_total = spark.read.parquet(paths.docs).count()
     stats = json.load(open(paths.stats))
     stats["N"] = int(n_total)
+    # keep avgdl consistent with the documented pre-compact semantics (both
+    # numerator and denominator count tombstoned AND delta docs — Lucene's
+    # deleted-docs-count-until-merge): build_dictionary computed it before N
+    # grew, which left avgdl = all tokens / pre-delta N
+    stats["avgdl"] = float(stats.get("total_tokens", 0)) / max(1, stats["N"])
     with open(paths.stats, "w") as f:
         json.dump(stats, f, indent=1)
     snap = snapshots.append_snapshot(paths.root, "append", stats, n_tombstones_added=int(n_tomb))

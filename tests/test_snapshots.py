@@ -80,6 +80,9 @@ def test_log_lineage(setup):
     assert log[1]["n_tombstones"] == 25
     assert log[1]["n_segments"] > log[0]["n_segments"]
     assert log[1]["N"] > log[0]["N"]
+    # avgdl frozen into the append snapshot is self-consistent: Σtokens / N
+    # with BOTH counting tombstoned and delta docs (Lucene pre-merge stats)
+    assert abs(log[1]["avgdl"] - log[1]["total_tokens"] / log[1]["N"]) < 1e-9
 
 
 @pytest.mark.parametrize("mode", ["exhaustive", "wand"])
