@@ -61,6 +61,32 @@ def main() -> None:
     blocks = eng._blocks("standard", ["braf", "v600e"])
     sections.append(f"## Postings scan (term pushdown)\n\n```\n{plan_of(blocks)}\n```\n")
 
+    # r4: snapshot time travel — the as-of seg predicate must land in
+    # PartitionFilters (seg is the partition column), NOT in PushedFilters/
+    # post-scan Filter: an as-of scan prunes whole segment directories and
+    # never lists or reads newer commits' files, which is what makes time
+    # travel free at 100 TB
+    ix_tt = "/tmp/intuition_spark_plans_ix_tt"
+    if not os.path.exists(os.path.join(ix_tt, "snapshots.json")):
+        import shutil
+
+        from intuition_spark.index.builder import IndexPaths
+        from intuition_spark.index.incremental import merge_delta
+
+        shutil.rmtree(ix_tt, ignore_errors=True)
+        df = spark.read.parquet(transcripts_path(20000))
+        build_index(spark, df, ix_tt, analyzer="standard", n_segments=8)
+        from pyspark.sql import functions as F
+
+        delta = df.limit(500).withColumn("text", F.lit("rewritten delta text"))
+        merge_delta(spark, IndexPaths(ix_tt), delta)
+    eng_tt = SearchEngine(spark, ix_tt, as_of=1)
+    blocks_tt = eng_tt._blocks("standard", ["braf", "v600e"])
+    sections.append(
+        "## Time-travel postings scan (as_of=1: seg partition-pruned + term pushdown)"
+        f"\n\n```\n{plan_of(blocks_tt)}\n```\n"
+    )
+
     # r2: plans of the three gate entries whose r1 shapes were scale-killers —
     # check: no CartesianProduct in dedup_embed_cosine (bucket-key SortMerge/
     # ShuffledHash join instead), kmer postings scan with In(kmer,…) pushdown,
