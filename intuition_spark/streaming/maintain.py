@@ -11,6 +11,11 @@ Scale notes: foreachBatch(merge_delta) is the right shape for index
 maintenance on a cluster — the micro-batch is a normal DataFrame, the merge is
 O(delta), and the streaming checkpoint (offsets) composes with the index's own
 per-segment manifest (idempotent dynamic-partition writes make replays safe).
+
+Every micro-batch is also a snapshot commit (index/snapshots.py): the stream
+leaves a queryable history, so `SearchEngine(ix, as_of_ts=t)` reproduces the
+index any consumer saw at time t — one JSON record per batch, negligible next
+to the delta itself; a periodic compact() expires the tail.
 """
 
 from __future__ import annotations
