@@ -29,14 +29,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _shard_worker(shard_id: int, ix_std: str, ix_ws: str, rounds: int,
-                  barrier, out_q) -> None:
+                  barrier, out_q, as_of: int | None = None) -> None:
     from intuition_spark.corpus import reference_queries
     from intuition_spark.query.engine import SearchEngine
     from intuition_spark.session import get_spark
 
     spark = get_spark(f"serve-shard-{shard_id}", master="local[4]",
                       shuffle_partitions=8)
-    eng = SearchEngine(spark, {"standard": ix_std, "ws": ix_ws})
+    # --as-of pins every shard to ONE snapshot: reads stay consistent
+    # across the fleet while a writer merges deltas into the same index
+    # (snapshot isolation — Solr replicas on a named commit point)
+    eng = SearchEngine(spark, {"standard": ix_std, "ws": ix_ws}, as_of=as_of)
     queries = list(reference_queries(k=10))
     # warm-up pass: parquet footers, codegen, doc cache
     for q in queries[:5]:
@@ -54,12 +57,14 @@ def _shard_worker(shard_id: int, ix_std: str, ix_ws: str, rounds: int,
     spark.stop()
 
 
-def run(n_shards: int, ix_std: str, ix_ws: str, rounds: int) -> dict:
+def run(n_shards: int, ix_std: str, ix_ws: str, rounds: int,
+        as_of: int | None = None) -> dict:
     ctx = mp.get_context("spawn")
     barrier = ctx.Barrier(n_shards)
     out_q = ctx.Queue()
     procs = [
-        ctx.Process(target=_shard_worker, args=(i, ix_std, ix_ws, rounds, barrier, out_q))
+        ctx.Process(target=_shard_worker,
+                    args=(i, ix_std, ix_ws, rounds, barrier, out_q, as_of))
         for i in range(n_shards)
     ]
     for p in procs:
@@ -110,11 +115,15 @@ def main() -> None:
     ap.add_argument("--ws", default=None)
     ap.add_argument("--baseline", action="store_true",
                     help="also run 1 shard for the scaling ratio")
+    ap.add_argument("--as-of", type=int, default=None,
+                    help="pin all shards to one snapshot id (consistent reads "
+                         "while a writer commits deltas; requires the index to "
+                         "have a snapshots.json log)")
     args = ap.parse_args()
     ws = args.ws or args.index
-    out = {"sharded": run(args.shards, args.index, ws, args.rounds)}
+    out = {"sharded": run(args.shards, args.index, ws, args.rounds, as_of=args.as_of)}
     if args.baseline:
-        out["single"] = run(1, args.index, ws, args.rounds)
+        out["single"] = run(1, args.index, ws, args.rounds, as_of=args.as_of)
         out["speedup"] = round(
             out["sharded"]["aggregate_qps"] / out["single"]["aggregate_qps"], 2
         )

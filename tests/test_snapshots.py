@@ -125,6 +125,36 @@ def test_ts_resolution_and_refresh_pin(spark, setup):
         snapshots.resolve(ix)  # exactly one selector
 
 
+def test_snapshot_isolation_under_concurrent_writer(spark, tmp_root):
+    """The serving property behind `serve_shards.py --as-of`: a reader pinned
+    to a snapshot returns IDENTICAL results before a writer's merge_delta,
+    after it (mtime-keyed caches invalidate and recompute under the snapshot
+    filters), and after an explicit refresh() (the pin survives re-resolution).
+    Snapshot isolation without any reader/writer coordination."""
+    tbl = generate_transcripts(500, max_tokens=30).to_pandas()
+    base, delta = tbl.iloc[:400].copy(), tbl.iloc[400:].copy()
+    # the delta also rewrites 10 existing turns so tombstones land too
+    upd = base.iloc[:10].copy()
+    upd["text"] = "isolation probe rewrite " + upd["turn_idx"].astype(str)
+    delta = __import__("pandas").concat([delta, upd], ignore_index=True)
+    base_src = _write(tmp_root, "iso_base.parquet", base)
+    delta_src = _write(tmp_root, "iso_delta.parquet", delta)
+
+    ix = os.path.join(tmp_root, "ix_iso")
+    build_index(spark, spark.read.parquet(base_src), ix, analyzer="standard", n_segments=2)
+    reader = SearchEngine(spark, ix, as_of=1)
+    q = Query("iso", "and", [["patient"], ["treatment"]], k=30)
+    before = _rows(reader.search(q))
+
+    merge_delta(spark, IndexPaths(ix), spark.read.parquet(delta_src))
+    assert _rows(reader.search(q)) == before  # no refresh: still frozen
+    reader.refresh()
+    assert _rows(reader.search(q)) == before  # refresh re-pins, still frozen
+    # sanity: an unpinned engine DOES see the write
+    live = SearchEngine(spark, ix)
+    assert live.search(Query("iso2", "term", [["rewrite"]], k=50)).count() == 10
+
+
 def test_compact_expires_ancestors(spark, setup, tmp_root):
     """Run on a COPY so the module fixture's index stays pre-compact."""
     import shutil
