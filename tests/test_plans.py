@@ -59,3 +59,15 @@ def test_idf_join_is_broadcast(spark, engine):
     out = engine.search(q, mode="exhaustive")
     plan = _plan(out)
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_as_of_prunes_seg_partitions(spark, engine):
+    """Time travel must be PARTITION pruning, not a post-scan filter: the
+    as-of seg predicate lands in PartitionFilters on both the postings and
+    docs scans (seg is the partition column), so an as-of read never lists
+    or reads files from newer commits."""
+    asof = SearchEngine(spark, engine.paths["standard"].root, as_of=1)
+    for df in (asof._blocks("standard", ["spark"]), asof._docs("standard")):
+        plan = _plan(df)
+        pf = [line for line in plan.splitlines() if "PartitionFilters" in line]
+        assert pf and "seg" in pf[0] and "<" in pf[0], plan
