@@ -167,6 +167,11 @@ def run_gate_bench(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, floa
     from intuition_spark.driver_gate_ext import _kmer_index
 
     _kmer_index(spark, sf_dir)
+    # same for the time-travel index (build + delta commit, mtime-cached):
+    # the EXTRA entry should time the as-of query, not the one-off build
+    from intuition_spark.driver_engine import get_time_travel_engine
+
+    get_time_travel_engine(spark, sf_dir)
 
     out: dict[str, float] = {}
     for name, fn in gated.items():
