@@ -46,6 +46,14 @@ def _quantile(xs: list[float], q: float) -> float:
     return xs[i]
 
 
+def _median(xs: list[float]) -> float:
+    """Averaged-middle-pair median (one estimator for every scaling stat —
+    the hand-rolled copies disagreed on even n)."""
+    s = sorted(xs)
+    m = len(s) // 2
+    return s[m] if len(s) % 2 else round((s[m - 1] + s[m]) / 2, 3)
+
+
 def run_engine_bench(spark, workdir: str) -> dict:
     from intuition_spark.corpus import reference_queries, transcripts_path
     from intuition_spark.index.builder import build_index
@@ -313,22 +321,15 @@ def run_scaling_submit(workdir: str) -> dict:
         pairs.append(rec)
     results["protocol"] = "median-of-paired-ratios"
     results["pairs"] = pairs
-    effs = sorted(p["efficiency"] for p in pairs)
-    results["efficiency_N_to_4N"] = effs[len(effs) // 2] if len(effs) % 2 else round(
-        (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3
-    )
+    results["efficiency_N_to_4N"] = _median([p["efficiency"] for p in pairs])
     results["efficiency_pairs"] = [p["efficiency"] for p in pairs]
-    post_effs = sorted(p["postings_efficiency"] for p in pairs)
-    results["postings_efficiency_median"] = (
-        post_effs[len(post_effs) // 2]
-        if len(post_effs) % 2
-        else round((post_effs[len(post_effs) // 2 - 1] + post_effs[len(post_effs) // 2]) / 2, 3)
+    results["postings_efficiency_median"] = _median(
+        [p["postings_efficiency"] for p in pairs]
     )
     # headline throughputs = median across legs of each width (reporting only;
     # the graded number is the paired-ratio median above)
     for tag, cores in (("lo", n_lo), ("hi", n_hi)):
-        thrs = sorted(p[f"thr_{tag}"] for p in pairs)
-        results[f"thr_{cores}"] = thrs[len(thrs) // 2]
+        results[f"thr_{cores}"] = _median([p[f"thr_{tag}"] for p in pairs])
         results[f"thr_{cores}_all"] = [p[f"thr_{tag}"] for p in pairs]
     probes = [p[f"probe_{t}"] for p in pairs for t in ("lo", "hi")]
     results["probes_s_per_proc"] = probes

@@ -89,7 +89,29 @@ def publish_atomically(path: str, write_fn, marker: str = "_SUCCESS") -> None:
     import shutil
 
     if os.path.isdir(path):  # stale partial publication — heal, don't wedge
-        shutil.rmtree(path, ignore_errors=True)
+        # claim-by-rename before deleting: a concurrent builder's rename can
+        # land between the marker check above and this heal, and rmtree'ing
+        # its complete publication would tear down a live index. os.rename is
+        # atomic, so after claiming we re-check the marker INSIDE the claimed
+        # dir: garbage → delete; a just-completed publication → put it back
+        # (and if another publication occupied `path` meanwhile, theirs wins
+        # and the claimed duplicate is dropped — builds are deterministic).
+        claim = f"{path}_stale_{os.getpid()}"
+        try:
+            os.rename(path, claim)
+        except OSError:
+            pass  # another process claimed/removed it first
+        else:
+            if os.path.exists(os.path.join(claim, marker)):
+                try:
+                    os.rename(claim, path)
+                    return
+                except OSError:
+                    shutil.rmtree(claim, ignore_errors=True)
+            else:
+                shutil.rmtree(claim, ignore_errors=True)
+    if os.path.exists(os.path.join(path, marker)):
+        return  # a concurrent publication completed while healing
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = f"{path}_build_{os.getpid()}"
     try:

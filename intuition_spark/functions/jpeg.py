@@ -126,7 +126,21 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode_jpeg_luma(payload: bytes) -> np.ndarray:
-    """Decode a baseline JPEG → 2-D uint8 luma plane (h × w)."""
+    """Decode a baseline JPEG → 2-D uint8 luma plane (h × w).
+
+    Every malformed input — including TRUNCATED payloads, whose raw symptom
+    is an IndexError/struct.error deep in the bit reader or marker loop —
+    surfaces as JpegError, so per-record rejection in mapInPandas callers
+    works with one except clause instead of crashing the Arrow batch."""
+    try:
+        return _decode_jpeg_luma(payload)
+    except JpegError:
+        raise
+    except (IndexError, KeyError, ValueError, struct.error) as e:
+        raise JpegError(f"malformed or truncated JPEG: {type(e).__name__}: {e}") from e
+
+
+def _decode_jpeg_luma(payload: bytes) -> np.ndarray:
     if payload[:2] != b"\xff\xd8":
         raise JpegError("not a JPEG payload")
     qt: dict[int, np.ndarray] = {}

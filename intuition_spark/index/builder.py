@@ -455,12 +455,25 @@ def build_index(
     """Full build: docs → postings → dictionary."""
     paths = IndexPaths(out_dir)
     os.makedirs(out_dir, exist_ok=True)
+    # in-place rebuild must really rebuild: the session may carry
+    # partitionOverwriteMode=dynamic (build_postings sets it), under which a
+    # plain overwrite only replaces MATCHING seg partitions — a rebuild with
+    # fewer segments would leave the old higher-seg directories alive and the
+    # latest view would serve a mix of two corpora
+    import shutil
+
+    for d in (paths.docs, paths.postings, paths.dictionary, paths.manifest):
+        shutil.rmtree(d, ignore_errors=True)
     prepare_docs(
         spark, transcripts, paths, analyzer=analyzer, n_segments=n_segments,
         extra_meta_cols=extra_meta_cols,
     )
     build_postings(spark, paths, with_positions=with_positions, segs_per_job=segs_per_job)
     build_dictionary(spark, paths)
+    # in-place rebuild hygiene: a fresh build has no deletions, and the
+    # snapshot commit below expires every prior entry (the overwrite destroyed
+    # their segments) — stale tombstones would otherwise delete new docs
+    shutil.rmtree(os.path.join(out_dir, "tombstones"), ignore_errors=True)
     with open(paths.stats) as f:
         snapshots.append_snapshot(out_dir, "build", json.load(f))
     return paths

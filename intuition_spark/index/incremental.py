@@ -62,8 +62,19 @@ def merge_delta(
         stats = json.load(f)
     analyzer = stats["analyzer"]
     old_n_segments = stats["n_segments"]
+    extra_cols = stats.get("extra_meta_cols") or []
 
-    delta = delta.select("conv_id", "turn_idx", "role", "tool", "ts", "text")
+    # carry the index's extra stored-metadata columns through the delta so
+    # appended segments stay schema-consistent with the existing docs table
+    # (a delta row without the column gets NULL — honest for field_eq, which
+    # treats NULL as no-match except the explicit IS NULL shape)
+    existing_schema = spark.read.parquet(paths.docs).schema
+    fill = [
+        c if c in delta.columns
+        else F.lit(None).cast(existing_schema[c].dataType).alias(c)
+        for c in extra_cols
+    ]
+    delta = delta.select("conv_id", "turn_idx", "role", "tool", "ts", "text", *fill)
     # version-max within the delta itself: last write wins (Q13/W2 analogue,
     # deterministic via ts then text as final tiebreak)
     w = Window.partitionBy("conv_id", "turn_idx").orderBy(F.desc("ts"), F.desc("text"))
@@ -97,7 +108,7 @@ def merge_delta(
     os.makedirs(scratch.root)
     prepare_docs(
         spark, delta, scratch, analyzer=analyzer, n_segments=n_new_segs,
-        seg_offset=old_n_segments,
+        seg_offset=old_n_segments, extra_meta_cols=extra_cols,
     )
     build_postings(spark, scratch, segs_per_job=segs_per_job)
 
@@ -142,14 +153,18 @@ def compact(spark: SparkSession, paths: IndexPaths, segs_per_job: int = 8) -> No
         docs = docs.join(tomb.select("doc_id"), "doc_id", "left_anti")
     with open(paths.stats) as f:
         stats = json.load(f)
-    live = docs.select("conv_id", "turn_idx", "role", "tool", "ts", "text")
+    extra_cols = stats.get("extra_meta_cols") or []
+    live = docs.select("conv_id", "turn_idx", "role", "tool", "ts", "text", *extra_cols)
     # full rewrite into a fresh layout, then swap
     import shutil
 
     tmp = IndexPaths(paths.root + "_compacting")
     shutil.rmtree(tmp.root, ignore_errors=True)
     os.makedirs(tmp.root)
-    prepare_docs(spark, live, tmp, analyzer=stats["analyzer"], n_segments=stats["n_segments"])
+    prepare_docs(
+        spark, live, tmp, analyzer=stats["analyzer"], n_segments=stats["n_segments"],
+        extra_meta_cols=extra_cols,
+    )
     build_postings(spark, tmp, segs_per_job=segs_per_job)
     build_dictionary(spark, tmp)
     # carry the snapshot log through the swap, then commit a 'replace'

@@ -69,9 +69,11 @@ def next_snapshot_id(root: str) -> int:
 
 
 def append_snapshot(root: str, op: str, stats: dict, n_tombstones_added: int = 0) -> dict:
-    """Record one commit. op: 'build' (initial), 'append' (merge_delta),
-    'replace' (compact — expires every ancestor, whose data files the rewrite
-    destroyed)."""
+    """Record one commit. op: 'build' (initial or in-place rebuild),
+    'append' (merge_delta), 'replace' (compact). Both 'build' and 'replace'
+    EXPIRE every prior entry: they rewrite the data files in place
+    (mode='overwrite' / tmp-and-swap), so older snapshots' segments no longer
+    exist — resolving them would silently serve post-rewrite data."""
     log = read_log(root)
     parent = log[-1]["snapshot_id"] if log else None
     prior_tombs = log[-1].get("n_tombstones", 0) if (log and op == "append") else 0
@@ -87,7 +89,7 @@ def append_snapshot(root: str, op: str, stats: dict, n_tombstones_added: int = 0
         "n_tombstones": int(prior_tombs + n_tombstones_added),
         "expired": False,
     }
-    if op == "replace":
+    if op in ("replace", "build"):
         for e in log:
             e["expired"] = True
     log.append(entry)

@@ -185,6 +185,12 @@ class SearchEngine:
             return
         p = self.paths[a]
         dic = self._dictionary_df(a).select("term", "df", "cf")
+        persisted = self._snap.get(a) is not None
+        if persisted:
+            # the as-of dictionary is an aggregation over snapshot postings,
+            # not a small stored table — persist so the size probe and the
+            # toPandas below compute it once, not twice
+            dic = dic.persist()
         if dic.count() <= self.DICT_CACHE_MAX_TERMS:
             pdf = dic.toPandas()
             self._dict_cache[a] = dict(
@@ -194,6 +200,8 @@ class SearchEngine:
                     strict=True,
                 )
             )
+        if persisted:
+            dic.unpersist()
         if self.stats[a]["N"] <= self.DOC_CACHE_MAX_DOCS:
             self._doc_cache[a] = (
                 self._docs(a)
@@ -298,7 +306,6 @@ class SearchEngine:
         key = (a, mtime, snap["snapshot_id"] if snap else None)
         cached = self._tomb_cache.get(key)
         if cached is None:
-            df = self.spark.read.parquet(p)
             if snap is not None:
                 # deleted-as-of = rows stamped at or before this commit;
                 # legacy unstamped rows read as commit 0 (always deleted).
@@ -310,6 +317,8 @@ class SearchEngine:
                     else F.lit(0)
                 )
                 df = df.filter(cid <= snap["snapshot_id"])
+            else:
+                df = self.spark.read.parquet(p)
             ids = df.select("doc_id").toPandas()["doc_id"].to_numpy()
             cached = np.sort(ids.astype(np.int64))
             self._tomb_cache = {key: cached}
@@ -510,9 +519,25 @@ class SearchEngine:
         return out
 
     def search(self, q: Query, mode: str = "auto") -> DataFrame:
+        if q.fields:
+            # even the single-field boost-1.0 shape (which routes through the
+            # plain path, not _search_multifield/_validate_fields) must not
+            # let a mistyped field name silently fall back to the first index
+            for f in q.fields:
+                if f not in self.paths:
+                    raise ValueError(
+                        f"unknown field index {f!r}; engine has {sorted(self.paths)}"
+                    )
         a = self._route(q)
         self._ensure_warm(a)
-        rkey = self._result_key(q, mode, a) + self._index_state(a)
+        # fold in the index state of EVERY scored field, not just the routed
+        # one: a multi-field query cached before a merge on any of its other
+        # field indexes must miss after it (same pre-cache invariant as
+        # single-field; _index_state docstring)
+        state: tuple = ()
+        for f in sorted(q.fields) if q.fields else (a,):
+            state += self._index_state(f)
+        rkey = self._result_key(q, mode, a) + state
         hit = self._result_cache.get(rkey)
         if hit is not None:
             self._result_cache.move_to_end(rkey)

@@ -142,14 +142,15 @@ def parse_query(
                     # edismax semantics: an unrecognized field name is NOT an
                     # error — the whole token degrades to a plain scoring atom
                     # (queries legitimately contain colons: URLs, key:value
-                    # fragments, timestamps). Two guard rails (ADVICE r3):
-                    # a NEAR-MISS of a real field name (edit distance ≤ 1,
-                    # e.g. `rol:assistant`) is almost certainly a typo and
-                    # raises instead of silently becoming a positional search
-                    # for 'rol assistant'; and wildcard metachars in the
-                    # degraded payload (`url:http*`) are stripped explicitly
-                    # — the token is scored as a term, never half-promoted to
-                    # a multi-term query.
+                    # fragments, timestamps — and 'test:runner' is one edit
+                    # from 'text', so hard-failing near-misses breaks real
+                    # queries). Guard rails (ADVICE r3): a NEAR-MISS of a
+                    # real field name (edit distance ≤ 1, e.g. `rol:assistant`)
+                    # degrades like any other token but emits a visible
+                    # warning naming the likely intended field; and wildcard
+                    # metachars in the degraded payload (`url:http*`) are
+                    # stripped explicitly — the token is scored as a term,
+                    # never half-promoted to a multi-term query.
                     from intuition_spark.query.engine import _lev_le
 
                     near = [
@@ -157,11 +158,12 @@ def parse_query(
                         if _lev_le(fname.lower(), f, 1)
                     ]
                     if near:
-                        raise QueryParseError(
-                            f"unknown field {fname!r} — did you mean {near[0]!r}? "
-                            "(unrecognized field clauses normally degrade to "
-                            "scoring atoms; a 1-typo match of a real field is "
-                            "rejected instead)"
+                        import warnings
+
+                        warnings.warn(
+                            f"unknown field {fname!r} (did you mean {near[0]!r}?) "
+                            "— degrading to a scoring atom, not a field filter",
+                            stacklevel=2,
                         )
                     payload = t.lstrip("+").replace("*", "").replace("?", "")
                     groups.append([("term", payload, 0)])

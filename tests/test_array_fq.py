@@ -85,3 +85,64 @@ def test_array_fq_composes_with_scalar_fq(tag_engine):
 def test_unregistered_field_still_rejected():
     with pytest.raises(ValueError, match="field_eq supports"):
         Query("bad", "term", [["x"]], field_eq={"nope": "x"})
+
+
+def test_extra_cols_survive_merge_and_compact(spark, tmp_root):
+    """Incremental maintenance must not drop extra stored-metadata columns:
+    delta segments carry the column (NULL-filled when the delta frame lacks
+    it), array fq keeps working over old + new docs, and compact() preserves
+    the column through the rewrite instead of deleting it permanently."""
+    register_field_col("tags")
+    from intuition_spark.index.builder import IndexPaths
+    from intuition_spark.index.incremental import compact, merge_delta
+
+    tbl = generate_transcripts(800, max_tokens=25).to_pandas()
+    base, fresh = tbl.iloc[:600].copy(), tbl.iloc[600:].copy()
+    base["tags"] = [[r, "base"] for r in base["role"]]
+    fresh["tags"] = [[r, "delta"] for r in fresh["role"]]
+    base_src = os.path.join(tmp_root, "emc_base.parquet")
+    pq.write_table(pa.Table.from_pandas(base, preserve_index=False), base_src)
+    fresh_src = os.path.join(tmp_root, "emc_delta.parquet")
+    pq.write_table(pa.Table.from_pandas(fresh, preserve_index=False), fresh_src)
+
+    ix = os.path.join(tmp_root, "ix_emc")
+    build_index(spark, spark.read.parquet(base_src), ix, analyzer="standard",
+                n_segments=2, extra_meta_cols=["tags"])
+    eng = SearchEngine(spark, {"standard": ix})
+    q_all = Query("emc", "term", [["word"]], k=100_000)
+    n_base_tagged = eng.search(
+        replace(q_all, field_eq={"tags": "base"}), mode="exhaustive"
+    ).count()
+    assert n_base_tagged > 0
+
+    # delta WITH the column: new docs must be findable by their tag
+    merge_delta(spark, IndexPaths(ix), spark.read.parquet(fresh_src))
+    eng.refresh()
+    got_delta = eng.search(
+        replace(q_all, query_id="emc_d", field_eq={"tags": "delta"}), mode="exhaustive"
+    )
+    docs_schema = spark.read.parquet(os.path.join(ix, "docs")).schema
+    assert "tags" in docs_schema.fieldNames()
+    assert got_delta.count() > 0
+
+    # delta WITHOUT the column: appended as NULL, engine still consistent
+    more = fresh.copy().drop(columns=["tags"])
+    more["conv_id"] = more["conv_id"] + "_x"
+    more_src = os.path.join(tmp_root, "emc_delta2.parquet")
+    pq.write_table(pa.Table.from_pandas(more, preserve_index=False), more_src)
+    merge_delta(spark, IndexPaths(ix), spark.read.parquet(more_src))
+    eng.refresh()
+    assert eng.search(
+        replace(q_all, query_id="emc_b2", field_eq={"tags": "base"}), mode="exhaustive"
+    ).count() == n_base_tagged
+
+    # compact must preserve the column and the fq results
+    compact(spark, IndexPaths(ix))
+    eng.refresh()
+    import json
+
+    stats = json.load(open(os.path.join(ix, "stats.json")))
+    assert stats["extra_meta_cols"] == ["tags"]
+    assert eng.search(
+        replace(q_all, query_id="emc_b3", field_eq={"tags": "base"}), mode="exhaustive"
+    ).count() == n_base_tagged

@@ -167,6 +167,21 @@ def test_jpeg_rejects_progressive_and_garbage():
         decode_jpeg_luma(bytes(payload))
 
 
+def test_jpeg_truncation_raises_jpeg_error():
+    """Truncated payloads must surface as JpegError (the module's per-record
+    rejection contract), not raw IndexError/struct.error from the bit reader
+    or marker loop — a mapInPandas caller catching JpegError would otherwise
+    crash its whole Arrow batch on one cut-off record."""
+    img = _test_image(h=8, w=8)
+    payload = encode_jpeg([img], np.ones((8, 8)))
+    for cut in (3, 8, len(payload) // 2):
+        with pytest.raises(JpegError):
+            decode_jpeg_luma(payload[:cut])
+    # dropping only the EOI marker is decodable by design: the entropy data is
+    # complete and the reader pads with 1-bits at segment end (spec behavior)
+    assert decode_jpeg_luma(payload[:-2]).shape == (8, 8)
+
+
 def test_extract_features_real_mode_jpeg(spark, monkeypatch):
     """End-to-end: a real JPEG payload through the mapInPandas feature
     pipeline with INTUITION_MM_DECODE=real (no PIL in this sandbox, so this

@@ -124,6 +124,25 @@ def test_parse_field_qualified():
         parse_query("role:assistant")  # filter only — nothing to score
 
 
+def test_parse_near_miss_field_degrades_with_warning():
+    """A 1-typo near-miss of a real field name ('rol:assistant') degrades to
+    a scoring atom like any unknown field (edismax semantics — hard-failing
+    would break legit colon tokens like 'test:runner', one edit from 'text')
+    but emits a visible warning naming the likely intended field."""
+    import warnings as w
+
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        q = parse_query("rol:assistant table")
+    assert q.field_eq is None and q.groups == [["rol:assistant"], ["table"]]
+    assert any("did you mean 'role'" in str(c.message) for c in caught)
+    # legit near-miss colon tokens parse without error
+    with w.catch_warnings(record=True):
+        w.simplefilter("always")
+        q2 = parse_query("error in test:runner")
+    assert q2.field_eq is None and ["test:runner"] in q2.groups
+
+
 def test_parse_fuzzy_rejects_metachars():
     """'te*t~1' is neither fuzzy nor wildcard (ADVICE r2)."""
     with pytest.raises(QueryParseError):
