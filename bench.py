@@ -292,18 +292,39 @@ def run_scaling_submit(workdir: str) -> dict:
     # max over independently-noisy legs and reported a physically impossible
     # 1.067 (two IDENTICAL 8-core legs measured 8,367 vs 18,039 turns/s) —
     # max() amplifies noise in both directions, paired medians cancel it.
-    # A host probe brackets every leg; the artifact self-certifies `quiet`
-    # when every width-1 probe reads within 15% of the 0.25 s/proc quiet
-    # value, so the recorded efficiency carries its own conditions.
+    #
+    # PROBE-GATED PAIR ADMISSION (r4, implementing the r3 verdict's "only
+    # record as THE artifact when probes certify a quiet host; patience
+    # beats a noisy number"): three width-1 host probes bracket every pair
+    # (before the lo leg, between legs, after the hi leg); a pair is CLEAN
+    # when all three read within 15% of the 0.25 s/proc quiet value. With
+    # SPARK_GRAFT_WAIT_QUIET_MIN set, the runner (a) polls the probe every
+    # 60 s before starting a pair until it reads quiet, and (b) DISCARDS a
+    # pair that turns out dirty (kept under rejected_pairs with full
+    # receipts) and retries, until n_pairs clean pairs exist or the wait
+    # budget is exhausted. The artifact self-certifies `quiet` only when
+    # every accepted pair is clean, so the recorded efficiency carries its
+    # own conditions.
     ratio = n_hi / n_lo
     n_pairs = max(1, int(os.environ.get("SPARK_GRAFT_SCALING_PAIRS", "3")))
     quiet_base = float(os.environ.get("SPARK_GRAFT_QUIET_PROC_S", "0.25"))
     quiet_thresh = round(quiet_base * 1.15, 4)
-    pairs: list[dict] = []
-    for pi in range(n_pairs):
-        rec: dict = {"pair": pi}
+    wait_budget_s = 60.0 * float(os.environ.get("SPARK_GRAFT_WAIT_QUIET_MIN", "0"))
+    deadline = time.time() + wait_budget_s
+    max_attempts = n_pairs + int(os.environ.get("SPARK_GRAFT_SCALING_EXTRA", "4"))
+    accepted: list[dict] = []
+    rejected: list[dict] = []
+    attempt = 0
+    t_start = time.time()
+    while len(accepted) < n_pairs and attempt < max_attempts:
+        probe = _host_probe((1,))["1"]
+        while probe > quiet_thresh and time.time() < deadline:
+            time.sleep(60)
+            probe = _host_probe((1,))["1"]
+        rec: dict = {"pair": attempt, "probe_lo": probe}
         for tag, cores in (("lo", n_lo), ("hi", n_hi)):
-            rec[f"probe_{tag}"] = _host_probe((1,))["1"]
+            if tag != "lo":
+                rec[f"probe_{tag}"] = _host_probe((1,))["1"]
             leg = one_leg(cores)
             rec[f"thr_{tag}"] = leg["turns_per_sec"]
             rec[f"wall_{tag}"] = leg["total_s"]
@@ -311,6 +332,7 @@ def run_scaling_submit(workdir: str) -> dict:
                 k: leg[k]
                 for k in ("docs_stage_s", "postings_stage_s", "dictionary_stage_s")
             }
+        rec["probe_end"] = _host_probe((1,))["1"]
         rec["efficiency"] = round(rec["thr_hi"] / rec["thr_lo"] / ratio, 3)
         rec["postings_efficiency"] = round(
             rec["stages_lo"]["postings_stage_s"]
@@ -318,24 +340,86 @@ def run_scaling_submit(workdir: str) -> dict:
             / ratio,
             3,
         )
-        pairs.append(rec)
-    results["protocol"] = "median-of-paired-ratios"
-    results["pairs"] = pairs
-    results["efficiency_N_to_4N"] = _median([p["efficiency"] for p in pairs])
-    results["efficiency_pairs"] = [p["efficiency"] for p in pairs]
-    results["postings_efficiency_median"] = _median(
-        [p["postings_efficiency"] for p in pairs]
+        rec["clean"] = _pair_is_clean(rec, quiet_thresh)
+        rec["stable"] = _pair_is_stable(rec)
+        attempt += 1
+        if rec["clean"] or time.time() >= deadline:
+            accepted.append(rec)
+        else:
+            rejected.append(rec)
+    results.update(
+        _summarize_pairs(accepted, rejected, (n_lo, n_hi), quiet_thresh)
+    )
+    results["wait_budget_min"] = round(wait_budget_s / 60.0, 1)
+    results["elapsed_min"] = round((time.time() - t_start) / 60.0, 1)
+    return results
+
+
+def _pair_is_clean(rec: dict, thresh: float) -> bool:
+    """A pair is clean when every bracketing probe (before lo, between legs,
+    after hi) reads at or under the quiet threshold."""
+    return all(
+        rec[k] <= thresh for k in ("probe_lo", "probe_hi", "probe_end") if k in rec
+    )
+
+
+# A pair is STABLE when its three bracketing probes agree within this
+# relative spread (max/min - 1). Stability is the secondary certification:
+# the graded quantity is a RATIO of two legs run back-to-back, and a
+# CONSTANT ambient throttle divides out of a ratio — what invalidates a
+# pair is load CHANGING between its legs, which the probe spread detects.
+# `quiet` (absolute) remains the headline gate; `stable` documents that a
+# steadily-throttled window still yields a valid efficiency measurement.
+_STABLE_REL_SPREAD = 0.15
+
+
+def _pair_is_stable(rec: dict, rel_spread: float = _STABLE_REL_SPREAD) -> bool:
+    probes = [rec[k] for k in ("probe_lo", "probe_hi", "probe_end") if k in rec]
+    if len(probes) < 2 or min(probes) <= 0:
+        return False
+    return (max(probes) / min(probes) - 1.0) <= rel_spread
+
+
+def _summarize_pairs(
+    accepted: list[dict], rejected: list[dict], cores: tuple[int, int],
+    quiet_thresh: float,
+) -> dict:
+    """Pure summary of a scaling run (unit-tested in tests/test_bench_scaling):
+    the graded efficiency is the median of per-pair ratios over ACCEPTED
+    pairs; `quiet` certifies that every accepted pair was probe-clean. When
+    the accepted set mixes clean and dirty pairs (wait budget exhausted), a
+    clean-only median is also recorded so the reader can compare."""
+    n_lo, n_hi = cores
+    out: dict = {"protocol": "median-of-paired-ratios", "pairs": accepted}
+    if rejected:
+        out["rejected_pairs"] = rejected
+    out["efficiency_N_to_4N"] = _median([p["efficiency"] for p in accepted])
+    out["efficiency_pairs"] = [p["efficiency"] for p in accepted]
+    clean = [p for p in accepted if p.get("clean")]
+    if clean and len(clean) < len(accepted):
+        out["efficiency_clean_median"] = _median([p["efficiency"] for p in clean])
+    out["postings_efficiency_median"] = _median(
+        [p["postings_efficiency"] for p in accepted]
     )
     # headline throughputs = median across legs of each width (reporting only;
     # the graded number is the paired-ratio median above)
-    for tag, cores in (("lo", n_lo), ("hi", n_hi)):
-        results[f"thr_{cores}"] = _median([p[f"thr_{tag}"] for p in pairs])
-        results[f"thr_{cores}_all"] = [p[f"thr_{tag}"] for p in pairs]
-    probes = [p[f"probe_{t}"] for p in pairs for t in ("lo", "hi")]
-    results["probes_s_per_proc"] = probes
-    results["quiet_threshold_s"] = quiet_thresh
-    results["quiet"] = all(p <= quiet_thresh for p in probes)
-    return results
+    for tag, n in (("lo", n_lo), ("hi", n_hi)):
+        out[f"thr_{n}"] = _median([p[f"thr_{tag}"] for p in accepted])
+        out[f"thr_{n}_all"] = [p[f"thr_{tag}"] for p in accepted]
+    out["probes_s_per_proc"] = [
+        p[k] for p in accepted for k in ("probe_lo", "probe_hi", "probe_end")
+        if k in p
+    ]
+    out["quiet_threshold_s"] = quiet_thresh
+    out["quiet"] = bool(accepted) and all(p.get("clean") for p in accepted)
+    # secondary certification: every accepted pair's probes agree within
+    # _STABLE_REL_SPREAD — a constant throttle divides out of the paired
+    # ratio, so stable-but-not-quiet pairs still measure real efficiency
+    for p in accepted:
+        p.setdefault("stable", _pair_is_stable(p))
+    out["stable"] = bool(accepted) and all(p["stable"] for p in accepted)
+    out["stable_rel_spread"] = _STABLE_REL_SPREAD
+    return out
 
 
 def _sync_baseline(repo: str, detail: dict | None = None, scaling: dict | None = None) -> None:
@@ -390,10 +474,20 @@ def _sync_baseline(repo: str, detail: dict | None = None, scaling: dict | None =
             f"{scaling.get('thr_' + str(scaling['cores'][1]))} turns/s "
             f"(all legs lo {scaling.get('thr_' + str(scaling['cores'][0]) + '_all')}, "
             f"hi {scaling.get('thr_' + str(scaling['cores'][1]) + '_all')})\n"
-            f"- Host probes (s/proc, width 1, one per leg): "
+            f"- Host probes (s/proc, width 1, three per pair): "
             f"{scaling.get('probes_s_per_proc')} — quiet threshold "
-            f"{scaling.get('quiet_threshold_s')}, **quiet={scaling.get('quiet')}**"
+            f"{scaling.get('quiet_threshold_s')}, **quiet={scaling.get('quiet')}**, "
+            f"**stable={scaling.get('stable')}** (per-pair probe spread ≤ "
+            f"{scaling.get('stable_rel_spread')}; a constant throttle divides "
+            f"out of the paired ratio — only load CHANGING between legs "
+            f"invalidates a pair)"
         )
+        if scaling.get("rejected_pairs"):
+            rej = scaling["rejected_pairs"]
+            body += (
+                f"\n- Rejected (dirty-probe) pairs, kept as receipts, not "
+                f"graded: {[p['efficiency'] for p in rej]}"
+            )
         text = replace_block("scaling", body, text)
     with open(path, "w") as f:
         f.write(text)
@@ -441,9 +535,14 @@ def main() -> None:
         "host_probe": {"pre": host_pre, "post": host_post},
     }
     repo = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(repo, "BENCH_DETAIL.json"), "w") as f:
-        json.dump(detail, f, indent=1)
-    _sync_baseline(repo, detail=detail)
+    # Quick variants (SPARK_GRAFT_BENCH_TURNS below the full engine size)
+    # must not overwrite the committed artifacts — a 5k-turn smoke run once
+    # clobbered BASELINE.md's auto-block with non-comparable numbers.
+    full_run = "SPARK_GRAFT_BENCH_TURNS" not in os.environ
+    if full_run:
+        with open(os.path.join(repo, "BENCH_DETAIL.json"), "w") as f:
+            json.dump(detail, f, indent=1)
+        _sync_baseline(repo, detail=detail)
     compact_engine = {
         k: engine[k]
         for k in ("build_turns_per_sec", "n_turns", "query_p50_sec", "query_p95_sec")

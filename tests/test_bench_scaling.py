@@ -1,0 +1,117 @@
+"""Unit tests for the probe-gated scaling-pair summary in bench.py.
+
+The r3 verdict asked for median-of-paired-ratios with probe-certified quiet
+pairs (VERDICT.md "Next round #1"). The pair-admission loop needs a real
+45-minute run; the classification + summary logic is pure and tested here.
+"""
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+from bench import _median, _pair_is_clean, _pair_is_stable, _summarize_pairs
+
+THRESH = 0.2875
+
+
+def _pair(i, eff, p_lo=0.25, p_hi=0.25, p_end=0.25, thr_lo=3000.0, thr_hi=None):
+    rec = {
+        "pair": i,
+        "probe_lo": p_lo,
+        "probe_hi": p_hi,
+        "probe_end": p_end,
+        "thr_lo": thr_lo,
+        "thr_hi": thr_hi if thr_hi is not None else thr_lo * 4 * eff,
+        "efficiency": eff,
+        "postings_efficiency": eff,
+        "stages_lo": {},
+        "stages_hi": {},
+    }
+    rec["clean"] = _pair_is_clean(rec, THRESH)
+    return rec
+
+
+def test_pair_is_clean_requires_all_three_probes_quiet():
+    assert _pair_is_clean(
+        {"probe_lo": 0.25, "probe_hi": 0.28, "probe_end": 0.2875}, THRESH
+    )
+    for dirty_key in ("probe_lo", "probe_hi", "probe_end"):
+        rec = {"probe_lo": 0.25, "probe_hi": 0.25, "probe_end": 0.25}
+        rec[dirty_key] = 0.40
+        assert not _pair_is_clean(rec, THRESH), dirty_key
+
+
+def test_summary_all_clean_is_quiet_and_median_graded():
+    pairs = [_pair(0, 0.95), _pair(1, 0.83), _pair(2, 0.88)]
+    out = _summarize_pairs(pairs, [], (2, 8), THRESH)
+    assert out["quiet"] is True
+    assert out["efficiency_N_to_4N"] == 0.88  # median, not max/min
+    assert out["efficiency_pairs"] == [0.95, 0.83, 0.88]
+    assert "efficiency_clean_median" not in out  # no mixed set, no extra row
+    assert "rejected_pairs" not in out
+    assert len(out["probes_s_per_proc"]) == 9  # 3 probes per pair
+
+
+def test_summary_mixed_set_is_not_quiet_and_records_clean_median():
+    pairs = [_pair(0, 0.95), _pair(1, 0.70, p_hi=0.55), _pair(2, 0.90)]
+    out = _summarize_pairs(pairs, [], (2, 8), THRESH)
+    assert out["quiet"] is False
+    assert out["efficiency_N_to_4N"] == 0.90  # median over all accepted
+    assert out["efficiency_clean_median"] == 0.925  # avg-middle-pair of 2
+
+def test_summary_rejected_pairs_kept_as_receipts_not_graded():
+    accepted = [_pair(0, 0.85), _pair(1, 0.87), _pair(2, 0.84)]
+    rejected = [_pair(9, 1.40, p_end=0.60)]  # noise-broken ratio, discarded
+    out = _summarize_pairs(accepted, rejected, (2, 8), THRESH)
+    assert out["quiet"] is True
+    assert out["efficiency_N_to_4N"] == 0.85
+    assert out["rejected_pairs"] == rejected  # full receipts preserved
+    assert 1.40 not in out["efficiency_pairs"]
+
+
+def test_summary_throughput_medians_per_width():
+    pairs = [
+        _pair(0, 0.9, thr_lo=3000.0),
+        _pair(1, 0.9, thr_lo=3200.0),
+        _pair(2, 0.9, thr_lo=3100.0),
+    ]
+    out = _summarize_pairs(pairs, [], (2, 8), THRESH)
+    assert out["thr_2"] == 3100.0
+    assert out["thr_2_all"] == [3000.0, 3200.0, 3100.0]
+    assert out["thr_8"] == _median([p["thr_hi"] for p in pairs])
+
+
+def test_median_even_count_averages_middle_pair():
+    assert _median([0.8, 1.0]) == 0.9
+    assert _median([0.7]) == 0.7
+
+
+def test_pair_stability_is_relative_spread_not_absolute():
+    # steadily-throttled window: probes all ~0.40 — not quiet, but STABLE
+    # (constant throttle divides out of the paired ratio)
+    rec = {"probe_lo": 0.40, "probe_hi": 0.42, "probe_end": 0.41}
+    assert not _pair_is_clean(rec, THRESH)
+    assert _pair_is_stable(rec)
+    # load ramping mid-pair: spread 0.40 -> 0.60 breaks the ratio's validity
+    assert not _pair_is_stable({"probe_lo": 0.40, "probe_hi": 0.50, "probe_end": 0.60})
+    # degenerate inputs never certify
+    assert not _pair_is_stable({"probe_lo": 0.40})
+    assert not _pair_is_stable({"probe_lo": 0.0, "probe_hi": 0.0, "probe_end": 0.0})
+
+
+def test_summary_stable_flag_certifies_every_accepted_pair():
+    quiet_and_stable = [_pair(0, 0.9), _pair(1, 0.85), _pair(2, 0.88)]
+    out = _summarize_pairs(quiet_and_stable, [], (2, 8), THRESH)
+    assert out["stable"] is True and out["quiet"] is True
+
+    throttled_but_stable = [
+        _pair(0, 0.9, p_lo=0.40, p_hi=0.41, p_end=0.42),
+        _pair(1, 0.85, p_lo=0.39, p_hi=0.40, p_end=0.41),
+    ]
+    out = _summarize_pairs(throttled_but_stable, [], (2, 8), THRESH)
+    assert out["quiet"] is False  # absolute gate stays honest
+    assert out["stable"] is True  # ratio-validity still certified
+
+    ramping = [_pair(0, 0.9, p_lo=0.30, p_hi=0.45, p_end=0.60)]
+    out = _summarize_pairs(ramping, [], (2, 8), THRESH)
+    assert out["quiet"] is False and out["stable"] is False
