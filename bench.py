@@ -429,6 +429,46 @@ def _summarize_pairs(
     return out
 
 
+def _save_attempt(repo: str, res: dict) -> str:
+    """Persist a full --scaling-submit result as the next
+    `.benchmarks/scaling_r4_attemptN.json`. Every attempt's raw per-leg
+    receipts are committed BY CONSTRUCTION — attempt 4's raw JSON survived
+    only as the BASELINE.md block text because saving was a manual step."""
+    bdir = os.path.join(repo, ".benchmarks")
+    os.makedirs(bdir, exist_ok=True)
+    n = 1
+    while os.path.exists(os.path.join(bdir, f"scaling_r4_attempt{n}.json")):
+        n += 1
+    path = os.path.join(bdir, f"scaling_r4_attempt{n}.json")
+    with open(path, "w") as f:
+        json.dump({"scaling": res}, f, indent=1)
+    return path
+
+
+def _pool_attempts(repo: str) -> dict | None:
+    """Pool ADMITTED pairs across every saved attempt and take the median —
+    the graded r4 number. One attempt's 2-3 pairs leave the median exposed
+    to a single wild pair (attempt 4 admitted [1.328, 0.655]); pooling all
+    attempts' admitted pairs keeps the pre-registered estimator (median of
+    paired ratios) while maximizing n. Rejected (dirty-probe) pairs stay
+    out: the admission rule is part of the protocol, not post-hoc pruning."""
+    import glob as _glob
+
+    effs: list[float] = []
+    files = sorted(_glob.glob(os.path.join(repo, ".benchmarks", "scaling_r4_attempt*.json")))
+    for fp in files:
+        with open(fp) as f:
+            s = json.load(f).get("scaling", {})
+        effs.extend(s.get("efficiency_pairs", []))
+    if not effs:
+        return None
+    return {
+        "pooled_efficiency_median": _median(effs),
+        "pooled_pairs": effs,
+        "pooled_n_attempts": len(files),
+    }
+
+
 def _sync_baseline(repo: str, detail: dict | None = None, scaling: dict | None = None) -> None:
     """Regenerate the BASELINE.md §3-r4 rows from the artifact just written
     (r3 verdict: the doc drifted from BENCH_r0N.json twice — r2 overstated,
@@ -470,11 +510,21 @@ def _sync_baseline(repo: str, detail: dict | None = None, scaling: dict | None =
         text = replace_block("bench", body, text)
     if scaling is not None:
         pairs = scaling.get("pairs", [])
-        body = (
+        body = ""
+        if scaling.get("pooled_efficiency_median") is not None:
+            body += (
+                f"- **GRADED: efficiency N→4N {scaling['pooled_efficiency_median']}** — "
+                f"median over {len(scaling['pooled_pairs'])} admitted pairs "
+                f"pooled across all {scaling['pooled_n_attempts']} r4 runs "
+                f"{scaling['pooled_pairs']} (raw per-leg receipts in "
+                f".benchmarks/scaling_r4_attempt*.json). The bullets below "
+                f"describe the LATEST run only.\n"
+            )
+        body += (
             f"- Protocol: **{scaling.get('protocol', 'sequential')}**, "
             f"{len(pairs)} (lo,hi) pairs at {scaling['cores']} cores, "
             f"{scaling['turns']:,} turns via {scaling.get('via', 'in-process')}\n"
-            f"- Efficiency N→4N: **{scaling['efficiency_N_to_4N']}** "
+            f"- Efficiency N→4N (this run): **{scaling['efficiency_N_to_4N']}** "
             f"(per-pair {scaling.get('efficiency_pairs')}; postings-stage median "
             f"{scaling.get('postings_efficiency_median')})\n"
             f"- Throughput medians: {scaling.get('thr_' + str(scaling['cores'][0]))} → "
@@ -511,7 +561,12 @@ def main() -> None:
         # smoke variants (overridden turn count) must not rewrite the
         # committed BASELINE.md scaling row — same rule as the quick bench
         if "SPARK_GRAFT_SCALING_TURNS" not in os.environ:
-            _sync_baseline(os.path.dirname(os.path.abspath(__file__)), scaling=res)
+            repo = os.path.dirname(os.path.abspath(__file__))
+            res["attempt_file"] = _save_attempt(repo, res)
+            pooled = _pool_attempts(repo)
+            if pooled:
+                res.update(pooled)
+            _sync_baseline(repo, scaling=res)
         print(json.dumps({"scaling": res}))
         return
     if "--scaling" in sys.argv:

@@ -115,3 +115,38 @@ def test_summary_stable_flag_certifies_every_accepted_pair():
     ramping = [_pair(0, 0.9, p_lo=0.30, p_hi=0.45, p_end=0.60)]
     out = _summarize_pairs(ramping, [], (2, 8), THRESH)
     assert out["quiet"] is False and out["stable"] is False
+
+
+def test_pool_attempts_medians_admitted_pairs_across_files(tmp_path):
+    import json
+
+    from bench import _pool_attempts
+
+    bdir = tmp_path / ".benchmarks"
+    bdir.mkdir()
+    runs = [
+        {"efficiency_pairs": [0.9, 1.1, 0.8],
+         "rejected_pairs": [{"efficiency": 0.2}]},  # rejected stays out
+        {"efficiency_pairs": [1.0, 0.7]},
+    ]
+    for i, s in enumerate(runs, 1):
+        (bdir / f"scaling_r4_attempt{i}.json").write_text(
+            json.dumps({"scaling": s})
+        )
+    out = _pool_attempts(str(tmp_path))
+    assert out["pooled_pairs"] == [0.9, 1.1, 0.8, 1.0, 0.7]
+    assert out["pooled_efficiency_median"] == 0.9
+    assert out["pooled_n_attempts"] == 2
+    assert _pool_attempts(str(tmp_path / "empty")) is None
+
+
+def test_save_attempt_picks_next_free_slot(tmp_path):
+    import json
+
+    from bench import _save_attempt
+
+    p1 = _save_attempt(str(tmp_path), {"efficiency_pairs": [1.0]})
+    p2 = _save_attempt(str(tmp_path), {"efficiency_pairs": [0.9]})
+    assert p1.endswith("scaling_r4_attempt1.json")
+    assert p2.endswith("scaling_r4_attempt2.json")
+    assert json.load(open(p2))["scaling"]["efficiency_pairs"] == [0.9]
