@@ -139,6 +139,10 @@ class SearchEngine:
         self._postings_reader: dict[str, DataFrame] = {}
         self._docs_reader: dict[str, DataFrame] = {}
         self._tomb_cache: dict[tuple, np.ndarray] = {}
+        # debug surface (Solr debugQuery analogue, SolrClientTool.java:274):
+        # the terminal executor of the last search() stamps its name here, so
+        # explain() reports the EXECUTED path, never a re-derived guess
+        self.last_path: str | None = None
         self._load_stats()
         self._needs_warm: set[str] = set(self.paths)
         for a in self.paths:  # eager warm-up: first real query pays no cold start
@@ -538,9 +542,11 @@ class SearchEngine:
         for f in sorted(q.fields) if q.fields else (a,):
             state += self._index_state(f)
         rkey = self._result_key(q, mode, a) + state
+        self.last_path = None
         hit = self._result_cache.get(rkey)
         if hit is not None:
             self._result_cache.move_to_end(rkey)
+            self.last_path = "result_cache"
             return hit
         out = self._search_uncached(q, a, mode)
         self._result_cache[rkey] = out
@@ -565,6 +571,7 @@ class SearchEngine:
             included = self._fq_ids(a, q)
             fq_ok = included is not None  # None = predicate oversize
             if fq_ok and included.size == 0:
+                self.last_path = "empty_fq"
                 return self._empty_hits()
         fast_ok = not has_filter or fq_ok
         if q.fields and (len(q.fields) > 1 or any(w != 1.0 for w in q.fields.values())):
@@ -588,6 +595,7 @@ class SearchEngine:
             return self._search_tf_sort(q, a, ex_terms)
         atoms = self._parse_atoms(q, a)
         if not atoms:
+            self.last_path = "empty_no_atoms"
             return self._empty_hits()
         has_phrase = any(len(at.terms) > 1 for at in atoms)
         if mode == "auto" and fast_ok:
@@ -757,6 +765,7 @@ class SearchEngine:
     ) -> DataFrame:
         """Small-query WAND on the driver: same scorer, same blocks, no
         shuffle. Latency = postings point-scan + docs point-scan."""
+        self.last_path = "driver_wand"
         meta, n_groups = self._term_meta(a, atoms)
         avgdl = self.stats[a]["avgdl"]
         pdf = self._collect_blocks(a, list(meta))
@@ -789,6 +798,7 @@ class SearchEngine:
         self, q: Query, a: str, term: str, excluded: np.ndarray | None = None,
         included: np.ndarray | None = None,
     ) -> DataFrame:
+        self.last_path = "driver_tf_sort"
         pdf = self._collect_blocks(a, [term])
         if pdf.empty:
             return self._empty_hits()
@@ -914,6 +924,7 @@ class SearchEngine:
         """Small-query exhaustive scoring (incl. phrase/proximity positional
         matching) on the driver — same block decode, same sloppy-phrase
         semantics, two point-scan jobs total."""
+        self.last_path = "driver_exhaustive"
         n_groups = len({at.gid for at in atoms})
         contribs = self._driver_field_contrib(a, atoms, 1.0)
         return self._driver_score_contribs(q, a, contribs, n_groups, excluded, included)
@@ -961,6 +972,7 @@ class SearchEngine:
         self, q: Query, a: str, atoms: list[_Atom], prune: bool,
         excluded: np.ndarray | None = None, included: np.ndarray | None = None,
     ) -> DataFrame:
+        self.last_path = "wand_distributed"
         meta, n_groups = self._term_meta(a, atoms)
         avgdl = self.stats[a]["avgdl"]
         blocks = self._blocks(a, list(meta)).select(
@@ -1046,6 +1058,7 @@ class SearchEngine:
     def _search_exhaustive(
         self, q: Query, a: str, atoms: list[_Atom], ex_terms: list[str] | None = None
     ) -> DataFrame:
+        self.last_path = "exhaustive_distributed"
         parts = self._field_contrib_frames(a, atoms, 1.0)
         contrib = parts[0]
         for p in parts[1:]:
@@ -1110,6 +1123,7 @@ class SearchEngine:
             gids |= {at.gid for at in atoms}
             per.append((f, float(w), atoms))
         if not gids:
+            self.last_path = "empty_no_atoms"
             return self._empty_hits()
         n_groups = len(gids)
         has_phrase = any(len(at.terms) > 1 for _, _, atoms in per for at in atoms)
@@ -1141,6 +1155,7 @@ class SearchEngine:
         """Driver fast path: per-field block decode + contribution concat —
         one point-scan per field not yet in the block cache, then the same
         pandas aggregate as the single-field driver exhaustive path."""
+        self.last_path = "driver_multifield"
         doc_parts: list = []
         gid_parts: list = []
         w_parts: list = []
@@ -1167,6 +1182,7 @@ class SearchEngine:
         (_validate_fields) — the per-segment block-max bounds stay true
         upper bounds of the summed cross-field score, so pruning never
         changes results (identity-tested vs the exhaustive plan)."""
+        self.last_path = "multifield_wand_distributed"
         meta: dict[tuple[str, str], tuple[int, float, float]] = {}
         blocks: DataFrame | None = None
         cols = [
@@ -1199,6 +1215,7 @@ class SearchEngine:
         self, q: Query, a0: str, per: list, gids: set[int],
         ex_by_f: dict[str, list[str]],
     ) -> DataFrame:
+        self.last_path = "multifield_exhaustive_distributed"
         parts: list[DataFrame] = []
         for f, w, atoms in per:
             parts.extend(self._field_contrib_frames(f, atoms, w))
@@ -1257,6 +1274,7 @@ class SearchEngine:
 
     def _search_tf_sort(self, q: Query, a: str, ex_terms: list[str] | None = None) -> DataFrame:
         """Q8: sort=termfreq(text,t) desc, date desc (`SolrClientTool.java:147-151`)."""
+        self.last_path = "tf_sort_distributed"
         term = analyze_text(q.groups[0][0], self._analyzer_of(a))[0][0]
         rows = decode_blocks_df(self._blocks(a, [term])).select(
             "doc_id", F.col("tf").cast("double").alias("score")
@@ -1292,6 +1310,7 @@ class SearchEngine:
     ) -> DataFrame:
         """Q5/Q6/Q7: dictionary expansion → constant-score union (Lucene
         CONSTANT_SCORE multi-term rewrite, the Solr 8 default)."""
+        self.last_path = "multiterm_distributed"
         ex_terms = ex_terms or []
         pattern = q.groups[0][0]
         terms = None
@@ -1314,6 +1333,7 @@ class SearchEngine:
         self, q: Query, a: str, terms: list[str], excluded: np.ndarray | None = None,
         included: np.ndarray | None = None,
     ) -> DataFrame:
+        self.last_path = "driver_multiterm"
         if not terms:
             return self._empty_hits()
         pdf = self._collect_blocks(a, terms)
@@ -1338,6 +1358,7 @@ class SearchEngine:
         # join would be slower than the distributed path — fall back.
         cand = pd.DataFrame({"doc_id": docs, "score": np.full(docs.size, 1.0)})
         if len(cand) > q.k + q.offset and a not in self._doc_cache:
+            self.last_path = "driver_multiterm_spill"
             return self._finalize(
                 self.spark.createDataFrame(cand, schema="doc_id long, score double"), q, a
             )
@@ -1370,6 +1391,23 @@ class SearchEngine:
         """Q12 `client.getById` (`SolrClientTool.java:328-337`)."""
         a = a or next(iter(self.paths))
         return self._docs(a).filter(F.col("doc").isin(docs))
+
+    def explain(self, q: Query, mode: str = "auto") -> dict:
+        """Solr ``debugQuery=true`` analogue (`SolrClientTool.java:274`):
+        run ``q`` and report the parse (analyzed atoms with df/cf/idf), the
+        EXECUTED path, the driver-admission arithmetic, and the filterCache
+        resolution. See :mod:`intuition_spark.query.explain`."""
+        from intuition_spark.query.explain import explain as _explain
+
+        return _explain(self, q, mode)
+
+    def explain_doc(self, q: Query, doc: str) -> dict:
+        """Per-document score breakdown (Lucene ``Explanation`` analogue):
+        one record per matching (field, atom) whose contributions sum to the
+        engine's hit score, plus every non-scoring gate's verdict."""
+        from intuition_spark.query.explain import explain_doc as _explain_doc
+
+        return _explain_doc(self, q, doc)
 
 
 def _phrase_seg_match(seg_pdf: pd.DataFrame, terms: list[str], slop: int) -> pd.DataFrame:
