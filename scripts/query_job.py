@@ -29,6 +29,12 @@ def main() -> None:
     ap.add_argument("--slop", type=int, default=0)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--mode", default="auto", choices=["auto", "wand", "exhaustive"])
+    ap.add_argument("--explain", action="store_true",
+                    help="also emit the debug report (Solr debugQuery=true "
+                         "analogue): parse, executed path, admission, fq")
+    ap.add_argument("--explain-doc", metavar="DOC",
+                    help="emit the per-doc score breakdown (Lucene "
+                         "Explanation analogue) for docID 'conv:turn'")
     args = ap.parse_args()
 
     from intuition_spark.query.ast import Query
@@ -54,16 +60,17 @@ def main() -> None:
     q = Query("cli", args.kind, groups, slop=args.slop, k=args.k, analyzer=args.analyzer)
     t0 = time.time()
     rows = eng.search(q, mode=args.mode).collect()
-    print(
-        json.dumps(
-            {
-                "kind": args.kind,
-                "groups": groups,
-                "latency_s": round(time.time() - t0, 3),
-                "hits": [{"doc": r["doc"], "score": round(r["score"], 6)} for r in rows],
-            }
-        )
-    )
+    out = {
+        "kind": args.kind,
+        "groups": groups,
+        "latency_s": round(time.time() - t0, 3),
+        "hits": [{"doc": r["doc"], "score": round(r["score"], 6)} for r in rows],
+    }
+    if args.explain:
+        out["explain"] = eng.explain(q, mode=args.mode)
+    if args.explain_doc:
+        out["explain_doc"] = eng.explain_doc(q, args.explain_doc)
+    print(json.dumps(out, default=str))
     spark.stop()
 
 
