@@ -239,3 +239,26 @@ def test_compact_expires_ancestors(spark, setup, tmp_root):
     # tombstoned docs, so compare membership not scores)
     after = _rows(SearchEngine(spark, ixc).search(q))
     assert {d for d, _ in after} == {d for d, _ in before} or len(after) == len(before)
+
+
+def test_explain_composes_with_time_travel(spark, setup):
+    """The debug surface over an as-of engine: explain() reports the pinned
+    snapshot, and explain_doc's contributions sum to the as-of hit score
+    (which pre-dates the delta — frozen stats, snapshot-pruned postings)."""
+    ix, ix_base, _ = setup
+    asof = SearchEngine(spark, ix, as_of=1)
+    pristine = SearchEngine(spark, ix_base)
+    q = QUERIES[0]
+    exp = asof.explain(q)
+    assert exp["snapshot_id"] == 1
+    assert exp["fields"][0]["N"] == snapshots.read_log(ix)[0]["N"]
+    hits = asof.search(q).collect()
+    assert hits
+    for r in hits[:3]:
+        e = asof.explain_doc(q, r["doc"])
+        assert e["matched"] and abs(e["score"] - r["score"]) < 1e-9
+        # and the breakdown equals the pristine twin's, factor for factor
+        p = pristine.explain_doc(q, r["doc"])
+        got = [(c["term"], c["df"], c["tf"], c["dl"]) for c in e["contributions"]]
+        want = [(c["term"], c["df"], c["tf"], c["dl"]) for c in p["contributions"]]
+        assert got == want
