@@ -54,6 +54,7 @@ class _Atom:
     gid: int
     terms: list[str]  # 1 term, or n terms for a phrase
     slop: int
+    raw: str = ""  # the pre-analysis atom text (debug surface / explain)
 
 
 class SearchEngine:
@@ -379,7 +380,7 @@ class SearchEngine:
             for atom in group:
                 toks = [t for t, _ in analyze_text(atom, self._analyzer_of(a))]
                 if toks:
-                    atoms.append(_Atom(gid, toks, q.slop))
+                    atoms.append(_Atom(gid, toks, q.slop, atom))
         return atoms
 
     def _finalize(self, scored: DataFrame, q: Query, a: str, order=("score",)) -> DataFrame:

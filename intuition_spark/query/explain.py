@@ -6,21 +6,32 @@ which returns the parsed query, the chosen execution strategy, and per-doc
 Lucene ``Explanation`` trees (idf/tf/norm factors summing to the hit score).
 This module provides the same two surfaces over the engine:
 
-* :func:`explain` — runs the query and reports the parse (atoms → analyzed
-  terms with df/cf/idf), the EXECUTED path (driver fast path vs distributed
-  WAND vs exhaustive — observed from the engine's instrumentation, not
-  re-derived, so it can't drift from the real router), the driver-admission
-  arithmetic (Σdf / Σcf vs budgets), and the filterCache resolution.
+* :func:`explain` — runs the query and reports the parse (the ENGINE'S own
+  `_parse_atoms` output — atoms carry their raw text, nothing re-derived),
+  the EXECUTED path (observed from the engine's `last_path` instrumentation),
+  the driver-admission arithmetic (Σdf / Σcf vs budgets, folded with the
+  fq fast-path resolution exactly as the router folds it), and the
+  filterCache resolution.
 * :func:`explain_doc` — a per-document score breakdown: one record per
-  matching (field, atom) with boost, idf, tf, dl, avgdl and the BM25
-  contribution, whose sum reproduces the engine's hit score exactly
-  (tests assert equality against ``search()``), plus the mm=100% group
-  accounting and every non-scoring gate (fq predicates, MUST_NOT
-  exclusions, tombstones) with its verdict for this doc.
+  matching (field, distinct-term | phrase-atom) with boost, idf, tf, dl,
+  avgdl and the BM25 contribution, whose sum reproduces the engine's hit
+  score exactly (tests assert equality against ``search()``), plus the
+  mm=100% group accounting and every non-scoring gate — fq predicates,
+  MUST_NOT exclusions, tombstones — each evaluated across EVERY scored
+  field (multi-field semantics: a doc excluded/deleted in any field is out,
+  `SearchEngine._excluded_union`).
 
-Both execute like Solr's debug mode does — explain() observes a real run;
+Both execute like Solr's debug mode does — explain() observes a real run
+(driver paths eagerly, distributed paths at plan time — see ``wall_s``);
 explain_doc() reuses the engine's own block cache, decode, and sloppy-phrase
 matcher (`_phrase_seg_match`), so the numbers ARE the scorer's numbers.
+
+Duplicate-term caveat (mirrors the engine's documented limitation at
+`_term_meta`): a term reused across several single-term atoms is scored once
+— explain_doc keeps one contribution per distinct (field, term), so the sum
+matches the exhaustive scorer; queries reusing a term across GROUPS return
+no hits in the engine (group-coverage shortfall) and explain_doc's mm
+accounting reproduces that.
 """
 
 from __future__ import annotations
@@ -41,33 +52,46 @@ _SCORING_KINDS = ("term", "and", "or_groups", "phrase", "proximity")
 _MULTITERM_KINDS = ("wildcard", "regex", "fuzzy")
 
 
-def _raw_atoms(q: Query, analyzer: str):
-    """(gid, raw_atom, analyzed_terms) triples — same enumeration order and
-    gid assignment as SearchEngine._parse_atoms."""
-    out = []
-    for gid, group in enumerate(q.groups):
-        for raw in group:
-            toks = [t for t, _ in analyze_text(raw, analyzer)]
-            if toks:
-                out.append((gid, raw, toks))
-    return out
+def _fast_path_state(engine, a: str, q: Query):
+    """(fast_ok, fq_ids, dist_filter) — the same fq folding _search_uncached
+    performs before admission, so the report never claims an admission state
+    the router can't reach."""
+    dist_filter = q.filter_docs is not None
+    fq_preds = bool(q.field_eq) or q.require_no_tool or q.ts_after is not None
+    ids = None
+    fq_ok = False
+    if fq_preds and not dist_filter:
+        ids = engine._fq_ids(a, q)
+        fq_ok = ids is not None
+    fast_ok = not (dist_filter or fq_preds) or fq_ok
+    return fast_ok, ids, dist_filter, fq_preds
 
 
 def explain(engine, q: Query, mode: str = "auto") -> dict:
-    """Run ``q`` and report parse + routing + admission + fq debug info."""
+    """Run ``q`` and report parse + routing + admission + fq debug info.
+
+    ``wall_s`` times the ``search()`` call itself: driver fast paths execute
+    eagerly inside it, distributed paths return lazy DataFrames so it
+    measures planning only (the ``path`` field tells you which you got).
+    """
     from intuition_spark.query.engine import bm25_idf
 
     a = engine._route(q)
     engine._ensure_warm(a)
     t0 = time.time()
     engine.search(q, mode)
-    cached = engine.last_path == "result_cache"
-    if cached:
-        # report the EXECUTOR a cold run takes, and note the cache hit
-        engine._search_uncached(q, a, mode)
     wall_s = round(time.time() - t0, 4)
+    cached = engine.last_path == "result_cache"
+    rederive_s = None
+    if cached:
+        # report the EXECUTOR a cold run takes, timed separately so wall_s
+        # stays the latency of the call actually made
+        t1 = time.time()
+        engine._search_uncached(q, a, mode)
+        rederive_s = round(time.time() - t1, 4)
 
     fields = dict(q.fields) if q.fields else {a: 1.0}
+    fast_ok, fq_ids, dist_filter, fq_preds = _fast_path_state(engine, a, q)
     out: dict = {
         "query_id": q.query_id,
         "kind": q.kind,
@@ -79,6 +103,7 @@ def explain(engine, q: Query, mode: str = "auto") -> dict:
         "routed_index": a,
         "snapshot_id": (engine._snap.get(a) or {}).get("snapshot_id"),
         "wall_s": wall_s,
+        **({"cold_rederive_s": rederive_s} if rederive_s is not None else {}),
     }
 
     per_field = []
@@ -113,21 +138,21 @@ def explain(engine, q: Query, mode: str = "auto") -> dict:
             dfs = engine._dfs_for_terms(f, [term])
             atoms_info = [{
                 "gid": 0, "atom": q.groups[0][0], "terms": [term],
-                "per_term": [{"term": term, "df": dfs[term]}],
+                "per_term": [{"term": term, "df": int(dfs[term])}],
                 "note": "ranked by raw termfreq desc, ts desc — no BM25",
             }]
         else:
-            raws = _raw_atoms(q, engine._analyzer_of(f))
-            all_terms = sorted({t for _, _, toks in raws for t in toks})
+            atoms = engine._parse_atoms(q, f)  # the engine's own parse
+            all_terms = sorted({t for at in atoms for t in at.terms})
             dfs = engine._dfs_for_terms(f, all_terms)
             cache = engine._dict_cache.get(f) or {}
             atoms_info = []
-            for gid, raw, toks in raws:
+            for at in atoms:
                 atoms_info.append({
-                    "gid": gid,
-                    "atom": raw,
-                    "terms": toks,
-                    **({"slop": q.slop} if len(toks) > 1 else {}),
+                    "gid": at.gid,
+                    "atom": at.raw,
+                    "terms": at.terms,
+                    **({"slop": at.slop} if len(at.terms) > 1 else {}),
                     "per_term": [
                         {
                             "term": t,
@@ -135,19 +160,19 @@ def explain(engine, q: Query, mode: str = "auto") -> dict:
                             "cf": int(cache.get(t, (0, 0))[1]),
                             "idf": round(bm25_idf(stats["N"], dfs.get(t, 0)), 6),
                         }
-                        for t in toks
+                        for t in at.terms
                     ],
                 })
             terms_for_admission = all_terms
-            positional = any(len(toks) > 1 for _, _, toks in raws)
+            positional = any(len(at.terms) > 1 for at in atoms)
         ex_terms = engine._exclude_terms(q, f)
         dcache = engine._dict_cache.get(f)
         adm_terms = terms_for_admission + ex_terms
         sum_df = (
-            sum(dcache.get(t, (0, 0))[0] for t in adm_terms) if dcache else None
+            int(sum(dcache.get(t, (0, 0))[0] for t in adm_terms)) if dcache else None
         )
         sum_cf = (
-            sum(dcache.get(t, (0, 0))[1] for t in adm_terms)
+            int(sum(dcache.get(t, (0, 0))[1] for t in adm_terms))
             if (dcache and positional)
             else None
         )
@@ -159,27 +184,36 @@ def explain(engine, q: Query, mode: str = "auto") -> dict:
             "positional": positional,
             "sum_cf": sum_cf,
             "positions_budget": engine.SMALL_QUERY_POSITIONS if positional else None,
-            "driver_eligible": engine._small_enough(f, adm_terms, positional),
+            # what `auto` mode actually checks: postings volume AND the fq
+            # fast-path state (an oversize/distributed fq bars the driver)
+            "postings_small_enough": engine._small_enough(f, adm_terms, positional),
+            "fq_fast_path_ok": fast_ok,
+            "driver_eligible": fast_ok
+            and engine._small_enough(f, adm_terms, positional),
         }
         per_field.append(finfo)
     out["fields"] = per_field
 
-    preds = []
-    for fcol, fval in sorted((q.field_eq or {}).items()):
-        preds.append({"predicate": f"{fcol}:{fval!r}"})
-    if q.require_no_tool:
-        preds.append({"predicate": "tool IS NULL"})
-    if q.ts_after is not None:
-        preds.append({"predicate": f"ts >= {q.ts_after}"})
-    if preds:
-        ids = engine._fq_ids(a, q)
-        out["fq"] = {
-            "predicates": [p["predicate"] for p in preds],
-            "resolved_n_ids": None if ids is None else int(ids.size),
-            "oversize_distributed": ids is None,
-            "max_ids": engine.FQ_MAX_IDS,
-        }
-    if q.filter_docs is not None:
+    if fq_preds:
+        preds = [f"{fcol}:{fval!r}" for fcol, fval in sorted((q.field_eq or {}).items())]
+        if q.require_no_tool:
+            preds.append("tool IS NULL")
+        if q.ts_after is not None:
+            preds.append(f"ts >= {q.ts_after}")
+        if dist_filter:
+            out["fq"] = {
+                "predicates": preds,
+                "note": "filter_docs present — fq predicates apply inside the "
+                        "distributed path; the filterCache is not consulted",
+            }
+        else:
+            out["fq"] = {
+                "predicates": preds,
+                "resolved_n_ids": None if fq_ids is None else int(fq_ids.size),
+                "oversize_distributed": fq_ids is None,
+                "max_ids": engine.FQ_MAX_IDS,
+            }
+    if dist_filter:
         out["filter_docs"] = {
             "n": len(q.filter_docs),
             "note": "arbitrary doc-list fq — always the distributed path",
@@ -201,6 +235,19 @@ def _find_posting(pdf: pd.DataFrame, doc_id: int):
     return None
 
 
+def _doc_meta(engine, a: str, q: Query, doc: str):
+    """One metadata row for ``doc`` — from the driver doc cache when it
+    covers every column the fq gates need (zero Spark jobs), else one
+    pushdown point-scan."""
+    extra = [c for c in (q.field_eq or {}) if c not in ("role", "tool", "conv_id")]
+    cached = engine._doc_cache.get(a)
+    if cached is not None and not extra:
+        m = cached[cached["doc"] == doc]
+        return m.iloc[0] if len(m) else None
+    m = engine._docs(a).filter(F.col("doc") == doc).limit(1).toPandas()
+    return m.iloc[0] if not m.empty else None
+
+
 def explain_doc(engine, q: Query, doc: str) -> dict:
     """Per-document score breakdown (the Lucene ``Explanation`` analogue)."""
     from intuition_spark.query.engine import B, K1, bm25_idf, _phrase_seg_match
@@ -209,12 +256,9 @@ def explain_doc(engine, q: Query, doc: str) -> dict:
     engine._ensure_warm(a)
     if q.fields:
         engine._validate_fields(q)
-    meta = (
-        engine._docs(a).filter(F.col("doc") == doc).limit(1).toPandas()
-    )
-    if meta.empty:
+    row = _doc_meta(engine, a, q, doc)
+    if row is None:
         return {"doc": doc, "found": False, "matched": False}
-    row = meta.iloc[0]
     doc_id = int(row["doc_id"])
     out: dict = {"doc": doc, "found": True, "doc_id": doc_id}
 
@@ -222,58 +266,80 @@ def explain_doc(engine, q: Query, doc: str) -> dict:
     groups_matched: set[int] = set()
     all_gids: set[int] = set()
     fields = dict(q.fields) if q.fields else {a: 1.0}
+    ex_by_f = {f: engine._exclude_terms(q, f) for f in fields}
 
     if q.kind in _SCORING_KINDS:
         for f, w in fields.items():
             engine._ensure_warm(f)
             stats = engine.stats[f]
             N, avgdl = int(stats["N"]), stats["avgdl"]
-            raws = _raw_atoms(q, engine._analyzer_of(f))
-            all_gids |= {gid for gid, _, _ in raws}
-            for gid, raw, toks in raws:
-                if len(toks) == 1:
-                    t = toks[0]
-                    hit = _find_posting(engine._collect_blocks(f, [t]), doc_id)
-                    if hit is None:
-                        continue
-                    tf, dl, _ = hit
-                    df = engine._dfs_for_terms(f, [t])[t]
-                    idf = bm25_idf(N, df)
-                    contributions.append({
-                        "field": f, "boost": float(w), "gid": gid, "atom": raw,
-                        "term": t, "df": int(df), "idf": idf, "tf": tf, "dl": dl,
-                        "avgdl": avgdl,
-                        "contribution": float(
-                            w * idf * wand._weight(float(tf), float(dl), avgdl)
-                        ),
-                    })
-                    groups_matched.add(gid)
-                else:
-                    uniq = sorted(set(toks))
-                    pdf = engine._collect_blocks(f, uniq, with_positions=True)
-                    probe = _find_posting(pdf[pdf["term"] == toks[0]], doc_id)
+            atoms = engine._parse_atoms(q, f)  # the engine's own parse
+            all_gids |= {at.gid for at in atoms}
+            singles = [at for at in atoms if len(at.terms) == 1]
+            phrases = [at for at in atoms if len(at.terms) > 1]
+            # one batched fetch per field: all single + exclude terms (no
+            # positions) — the same granularity the driver scorer uses
+            flat_terms = sorted(
+                {at.terms[0] for at in singles} | set(ex_by_f[f])
+            )
+            flat_pdf = (
+                engine._collect_blocks(f, flat_terms)
+                if flat_terms
+                else pd.DataFrame(columns=["term"])
+            )
+            # distinct-term dedup, last atom's gid — exactly the engine's
+            # `single_terms` dict in _driver_field_contrib
+            single_terms: dict[str, object] = {}
+            for at in singles:
+                single_terms[at.terms[0]] = at
+            for t, at in single_terms.items():
+                hit = _find_posting(flat_pdf[flat_pdf["term"] == t], doc_id)
+                if hit is None:
+                    continue
+                tf, dl, _ = hit
+                df = int(engine._dfs_for_terms(f, [t])[t])
+                idf = bm25_idf(N, df)
+                contributions.append({
+                    "field": f, "boost": float(w), "gid": at.gid, "atom": at.raw,
+                    "term": t, "df": df, "idf": idf, "tf": tf, "dl": dl,
+                    "avgdl": avgdl,
+                    "contribution": float(
+                        w * idf * wand._weight(float(tf), float(dl), avgdl)
+                    ),
+                })
+                groups_matched.add(at.gid)
+            if phrases:
+                ph_terms = sorted({t for at in phrases for t in at.terms})
+                ph_pdf = engine._collect_blocks(f, ph_terms, with_positions=True)
+                for at in phrases:
+                    probe = _find_posting(
+                        ph_pdf[ph_pdf["term"] == at.terms[0]], doc_id
+                    )
                     if probe is None:
                         continue  # first token absent → phrase can't match
                     seg = probe[2]
-                    mf = _phrase_seg_match(pdf[pdf["seg"] == seg], toks, q.slop)
+                    mf = _phrase_seg_match(
+                        ph_pdf[ph_pdf["seg"] == seg], at.terms, at.slop
+                    )
                     mrow = mf[mf["doc_id"] == doc_id]
                     if mrow.empty:
                         continue
                     tf = float(mrow["tf"].iloc[0])  # sloppy freq (Σ 1/(1+dist))
                     dl = float(mrow["dl"].iloc[0])
-                    dfs = engine._dfs_for_terms(f, uniq)
+                    dfs = engine._dfs_for_terms(f, sorted(set(at.terms)))
                     # per TOKEN POSITION, like Lucene PhraseWeight
-                    idf_sum = sum(bm25_idf(N, dfs.get(t, 0)) for t in toks)
+                    idf_sum = sum(bm25_idf(N, dfs.get(t, 0)) for t in at.terms)
                     contributions.append({
-                        "field": f, "boost": float(w), "gid": gid, "atom": raw,
-                        "terms": toks, "slop": q.slop, "idf_sum": idf_sum,
-                        "sloppy_tf": tf, "dl": dl, "avgdl": avgdl,
+                        "field": f, "boost": float(w), "gid": at.gid,
+                        "atom": at.raw, "terms": at.terms, "slop": at.slop,
+                        "idf_sum": idf_sum, "sloppy_tf": tf, "dl": dl,
+                        "avgdl": avgdl,
                         "contribution": float(
                             w * idf_sum * tf * (K1 + 1.0)
                             / (tf + K1 * (1.0 - B + B * dl / avgdl))
                         ),
                     })
-                    groups_matched.add(gid)
+                    groups_matched.add(at.gid)
     elif q.kind in _MULTITERM_KINDS:
         pattern = q.groups[0][0]
         terms = engine._expand_cached(a, pattern, q.kind)
@@ -308,20 +374,32 @@ def explain_doc(engine, q: Query, doc: str) -> dict:
                 "contribution": float(hit[0]),
             })
 
-    # ---- non-scoring gates, each with its verdict for THIS doc ----------
+    # ---- non-scoring gates, each evaluated across EVERY scored field -----
+    # (multi-field semantics: a doc containing an excluded term in ANY
+    # field, or tombstoned in ANY field's index, is out — _excluded_union)
     gates: list[dict] = []
-    ex_terms = engine._exclude_terms(q, a)
-    if ex_terms:
-        hit_ex = [
-            t for t in ex_terms
-            if _find_posting(engine._collect_blocks(a, [t]), doc_id) is not None
-        ]
-        gates.append({"gate": "exclude (MUST_NOT)", "terms": ex_terms,
-                      "pass": not hit_ex, "matched_excluded_terms": hit_ex})
-    tomb = engine._tombstones(a)
-    if tomb.size:
-        dead = bool(wand.in_sorted(np.asarray([doc_id], dtype=np.int64), tomb)[0])
-        gates.append({"gate": "tombstones", "pass": not dead})
+    any_ex = {f: ex for f, ex in ex_by_f.items() if ex}
+    if any_ex:
+        hit_ex = []
+        for f, ex_terms in any_ex.items():
+            pdf = engine._collect_blocks(f, sorted(set(ex_terms)))
+            for t in ex_terms:
+                if _find_posting(pdf[pdf["term"] == t], doc_id) is not None:
+                    hit_ex.append({"field": f, "term": t})
+        gates.append({
+            "gate": "exclude (MUST_NOT)", "terms": any_ex,
+            "pass": not hit_ex, "matched_excluded_terms": hit_ex,
+        })
+    dead_in = [
+        f for f in fields
+        if engine._tombstones(f).size
+        and bool(wand.in_sorted(
+            np.asarray([doc_id], dtype=np.int64), engine._tombstones(f)
+        )[0])
+    ]
+    if any(engine._tombstones(f).size for f in fields):
+        gates.append({"gate": "tombstones", "pass": not dead_in,
+                      **({"deleted_in": dead_in} if dead_in else {})})
     for fcol, fval in sorted((q.field_eq or {}).items()):
         v = row.get(fcol)
         ok = (

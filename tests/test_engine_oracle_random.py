@@ -102,7 +102,10 @@ def _gen_queries(seed, oracle, rows):
         if q.kind in ("term", "and", "or_groups") and rng.random() < 0.3:
             q = replace(q, field_eq={"role": rng.choice(["user", "assistant"])})
         if q.kind in ("term", "and", "or_groups") and rng.random() < 0.2:
-            q = replace(q, exclude=[word()])
+            # exclude atoms must analyze to ONE token (_exclude_terms raises
+            # on multi-token atoms); dictionary terms are single by
+            # construction, raw corpus words may tokenize into several
+            q = replace(q, exclude=[rng.choice(vocab_std)])
         if rng.random() < 0.2:
             q = replace(
                 q, ts_after=some_ts[rng.randrange(len(some_ts))] - timedelta(seconds=1)

@@ -169,3 +169,73 @@ def test_explain_doc_proximity_slop_details(ex_setup):
     c = exp["contributions"][0]
     assert c["slop"] == 10 and c["sloppy_tf"] > 0 and c["idf_sum"] > 0
     assert exp["score"] == pytest.approx(hits[0]["score"], abs=1e-9)
+
+
+def test_explain_doc_multifield_gates_check_every_field(ex_setup):
+    """Review regression: a doc excluded via a NON-routed field's analyzer
+    (exclude atom 'queries' stems to 'queri' in standard, matches docs the
+    ws index never flags) must fail the gate — engine semantics exclude a
+    doc matching in ANY scored field (_excluded_union)."""
+    eng, _ = ex_setup
+    base = Query("xp_mf_ex0", "term", [["data"]], k=50,
+                 fields={"ws": 1.0, "standard": 1.0})
+    target = None
+    for r in eng.search(Query("xp_seed", "term", [["query"]], k=50)).collect():
+        target = r["doc"]  # contains 'queri' in the standard index
+        break
+    assert target is not None
+    q = replace(base, exclude=["queries"])
+    exp = eng.explain_doc(q, target)
+    gate = [g for g in exp["gates"] if g["gate"].startswith("exclude")][0]
+    assert gate["pass"] is False
+    assert {"field": "standard", "term": "queri"} in gate["matched_excluded_terms"]
+    assert not exp["matched"]
+    # and the engine agrees: the doc is not a hit for the excluded query
+    assert target not in {r["doc"] for r in eng.search(q, mode="exhaustive").collect()}
+
+
+def test_explain_doc_duplicate_terms_score_once(ex_setup):
+    """Review regression: a term reused across atoms is scored ONCE by the
+    engine (single_terms dict / _term_meta); explain_doc must not double."""
+    eng, _ = ex_setup
+    q1 = Query("xp_dup1", "or_groups", [["query", "query"]], k=10)
+    hits = eng.search(q1, mode="exhaustive").collect()
+    assert hits
+    exp = eng.explain_doc(q1, hits[0]["doc"])
+    assert len(exp["contributions"]) == 1
+    assert exp["score"] == pytest.approx(hits[0]["score"], abs=1e-9)
+
+    # cross-group reuse: the engine returns NO hits (group-coverage
+    # shortfall, the documented _term_meta limitation) — mm must mirror that
+    q2 = Query("xp_dup2", "and", [["query"], ["query"]], k=10)
+    assert eng.search(q2, mode="exhaustive").count() == 0
+    exp2 = eng.explain_doc(q2, hits[0]["doc"])
+    assert not exp2["mm_pass"] and not exp2["matched"] and exp2["score"] is None
+
+
+def test_explain_json_serializable_without_fallback(ex_setup):
+    """Review regression: dict-cache df/cf are np.int64 — every numeric field
+    must be a native type so the CLI's json.dumps emits numbers, not
+    strings."""
+    import json
+
+    eng, _ = ex_setup
+    for q in (Query("xp_j1", "and", [["query"], ["index"]], k=5),
+              Query("xp_j2", "tf_sort", [["query"]], k=5)):
+        json.dumps(eng.explain(q))  # raises TypeError on any numpy scalar
+        json.dumps(eng.explain_doc(q, eng.search(q).collect()[0]["doc"]))
+
+
+def test_explain_fq_section_respects_filter_docs_routing(ex_setup):
+    """Review regression: with filter_docs present the engine never consults
+    the filterCache — the report must say so instead of fabricating a
+    resolved-ids count."""
+    eng, _ = ex_setup
+    docs = [r["doc"] for r in eng.search(Query("xp_s", "term", [["query"]], k=5)).collect()]
+    q = Query("xp_fd", "term", [["query"]], k=5, filter_docs=docs,
+              field_eq={"role": "assistant"})
+    exp = eng.explain(q)
+    assert "resolved_n_ids" not in exp["fq"]
+    assert "filterCache is not consulted" in exp["fq"]["note"]
+    assert exp["filter_docs"]["n"] == len(docs)
+    assert exp["fields"][0]["admission"]["driver_eligible"] is False
