@@ -376,6 +376,43 @@ def fts_engine_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fts_engine_paged",
+    f"""
+WITH {_BM25_CTES},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term IN ('window','sort')
+       GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (c.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({K1} + 1.0)
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * s.dl / c.avgdl)) ) AS score,
+         count(*) AS ng
+  FROM tf JOIN df USING(term) JOIN doc_stats s USING(doc_id) CROSS JOIN corpus c
+  GROUP BY tf.doc_id)
+SELECT doc_id || ':0' AS doc, round(score, 4) AS score
+FROM scored WHERE ng = 2
+ORDER BY scored.score DESC, CAST(doc_id AS VARCHAR) LIMIT 10 OFFSET 25
+""",
+    gated=False,
+)
+def fts_engine_paged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/T3 deep paging through the full engine (`SolrClientTool.deepPage`,
+    util/SolrClientTool.java:216-233): rows 25..34 of the canonical BM25
+    ranking via Query.offset on the WAND path — the oracle is the SAME
+    two-term BM25 SQL as `fts_engine_bm25_topk` with LIMIT/OFFSET on the
+    true-score order, so a page-boundary bug (dropping score ties at
+    offset+k, or cutting before the fq/tombstone filters) mismatches.
+    (EXTRA registry: the driver's 50-entry gate window is full;
+    tests/test_gate_extra.py runs the same dual-engine identity.)"""
+    eng = get_documents_engine(spark, sf_dir)
+    q = Query("gate_paged", "and", [["window"], ["sort"]], k=10, offset=25,
+              analyzer="ws")
+    hits = eng.search(q, mode="wand")
+    return hits.select("doc", F.round("score", 4).alias("score"))
+
+
+@register(
     "fts_engine_spell",
     f"""
 WITH {_BM25_CTES}
