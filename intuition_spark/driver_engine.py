@@ -300,6 +300,85 @@ def fts_engine_multifield(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.select("doc", F.round("score", 4).alias("score"))
 
 
+def get_tags_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
+    """Documents index carrying a deterministic multi-valued metadata column
+    (builder ``extra_meta_cols``): tags = ['g<doc_id%5>', role] — the
+    reference's multi-valued `authors` shape (SolrServiceImpl.java:397-404).
+    ``register_field_col`` admits it to field_eq; the engine resolves the
+    predicate with array_contains through the filterCache. Cached like the
+    other gate indexes."""
+    from intuition_spark.driver_gate import publish_atomically, tmp_cache_path
+    from intuition_spark.index.builder import LAYOUT_VERSION
+    from intuition_spark.query.ast import register_field_col
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    ix = tmp_cache_path("ix_tags", src, f"v{LAYOUT_VERSION}d{_DOCS_VARIANT}g5")
+    if ix in _ENGINES:
+        return _ENGINES[ix]
+    publish_atomically(
+        ix,
+        lambda tmp: build_index(
+            spark,
+            documents_as_transcripts(spark, sf_dir).withColumn(
+                "tags",
+                F.array(
+                    F.concat(
+                        F.lit("g"), (F.col("conv_id").cast("long") % 5).cast("string")
+                    ),
+                    F.col("role"),
+                ),
+            ),
+            tmp,
+            analyzer="ws",
+            n_segments=4,
+            extra_meta_cols=["tags"],
+        ),
+        marker="stats.json",
+    )
+    register_field_col("tags")
+    eng = SearchEngine(spark, {"ws": ix})
+    _ENGINES[ix] = eng
+    return eng
+
+
+@register(
+    "fts_engine_array_fq",
+    f"""
+WITH {_BM25_CTES},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term IN ('window','sort')
+       GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (c.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({K1} + 1.0)
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * s.dl / c.avgdl)) ) AS score,
+         count(*) AS ng
+  FROM tf JOIN df USING(term) JOIN doc_stats s USING(doc_id) CROSS JOIN corpus c
+  GROUP BY tf.doc_id)
+SELECT doc_id || ':0' AS doc, round(score, 4) AS score
+FROM scored WHERE ng = 2 AND doc_id % 5 = 2
+ORDER BY scored.score DESC, CAST(doc_id AS VARCHAR) LIMIT 10
+""",
+    gated=False,
+)
+def fts_engine_array_fq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 array-valued field predicate through the full engine: the index
+    stores tags = ['g<doc_id%5>', role] (multi-valued `authors:"…"` parity,
+    SolrServiceImpl.java:397-404) and the query filters
+    ``field_eq={{'tags': 'g2'}}`` — array_contains via the filterCache,
+    intersected BEFORE the top-k cut. The oracle is the same BM25 SQL with
+    the equivalent scalar predicate ``doc_id % 5 = 2`` on the true-score
+    order, so contains-semantics bugs or a filter-after-rank cut mismatch.
+    (EXTRA registry: the driver's 50-entry gate window is full;
+    tests/test_gate_extra.py runs the same dual-engine identity.)"""
+    eng = get_tags_engine(spark, sf_dir)
+    q = Query("gate_array_fq", "and", [["window"], ["sort"]], k=10,
+              analyzer="ws", field_eq={"tags": "g2"})
+    hits = eng.search(q, mode="wand")
+    return hits.select("doc", F.round("score", 4).alias("score"))
+
+
 _TT_DELTA_MOD = 17  # doc_id % 17 == 0 rows get rewritten by the delta
 
 
