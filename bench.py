@@ -29,6 +29,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # per-core compute in charge while keeping the whole bench under ~3 min
 BENCH_TURNS = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "400000"))
 
+# Round tag for scaling-attempt receipts and the BASELINE.md auto blocks.
+# Attempts save as .benchmarks/scaling_{ROUND}_attemptN.json and pool ONLY
+# within their round, and _sync_baseline rewrites the <!-- {ROUND}:*:auto -->
+# blocks — a new round's runs can never silently mix into (or rewrite) a
+# prior round's GRADED median (ADVICE r4).
+ROUND = os.environ.get("SPARK_GRAFT_ROUND", "r5")
+
 
 def _host_probe(widths: tuple[int, ...]) -> dict[str, float]:
     """Constant-work per-process probe: flat times across widths = healthy
@@ -431,31 +438,32 @@ def _summarize_pairs(
 
 def _save_attempt(repo: str, res: dict) -> str:
     """Persist a full --scaling-submit result as the next
-    `.benchmarks/scaling_r4_attemptN.json`. Every attempt's raw per-leg
+    `.benchmarks/scaling_{ROUND}_attemptN.json`. Every attempt's raw per-leg
     receipts are committed BY CONSTRUCTION — attempt 4's raw JSON survived
     only as the BASELINE.md block text because saving was a manual step."""
     bdir = os.path.join(repo, ".benchmarks")
     os.makedirs(bdir, exist_ok=True)
     n = 1
-    while os.path.exists(os.path.join(bdir, f"scaling_r4_attempt{n}.json")):
+    while os.path.exists(os.path.join(bdir, f"scaling_{ROUND}_attempt{n}.json")):
         n += 1
-    path = os.path.join(bdir, f"scaling_r4_attempt{n}.json")
+    path = os.path.join(bdir, f"scaling_{ROUND}_attempt{n}.json")
     with open(path, "w") as f:
         json.dump({"scaling": res}, f, indent=1)
     return path
 
 
 def _pool_attempts(repo: str) -> dict | None:
-    """Pool ADMITTED pairs across every saved attempt and take the median —
-    the graded r4 number. One attempt's 2-3 pairs leave the median exposed
-    to a single wild pair (attempt 4 admitted [1.328, 0.655]); pooling all
-    attempts' admitted pairs keeps the pre-registered estimator (median of
-    paired ratios) while maximizing n. Rejected (dirty-probe) pairs stay
-    out: the admission rule is part of the protocol, not post-hoc pruning."""
+    """Pool ADMITTED pairs across every saved attempt OF THIS ROUND and take
+    the median — the graded number. One attempt's 2-3 pairs leave the median
+    exposed to a single wild pair (r4 attempt 4 admitted [1.328, 0.655]);
+    pooling all attempts' admitted pairs keeps the pre-registered estimator
+    (median of paired ratios) while maximizing n. Rejected (dirty-probe)
+    pairs stay out: the admission rule is part of the protocol, not post-hoc
+    pruning."""
     import glob as _glob
 
     effs: list[float] = []
-    files = sorted(_glob.glob(os.path.join(repo, ".benchmarks", "scaling_r4_attempt*.json")))
+    files = sorted(_glob.glob(os.path.join(repo, ".benchmarks", f"scaling_{ROUND}_attempt*.json")))
     for fp in files:
         with open(fp) as f:
             s = json.load(f).get("scaling", {})
@@ -470,10 +478,12 @@ def _pool_attempts(repo: str) -> dict | None:
 
 
 def _sync_baseline(repo: str, detail: dict | None = None, scaling: dict | None = None) -> None:
-    """Regenerate the BASELINE.md §3-r4 rows from the artifact just written
-    (r3 verdict: the doc drifted from BENCH_r0N.json twice — r2 overstated,
-    r3 understated — so the table rows are now BYTE-DERIVED from the same
-    dict that becomes the artifact, inside marked blocks bench.py owns)."""
+    """Regenerate the BASELINE.md §3-{ROUND} rows from the artifact just
+    written (r3 verdict: the doc drifted from BENCH_r0N.json twice — r2
+    overstated, r3 understated — so the table rows are now BYTE-DERIVED from
+    the same dict that becomes the artifact, inside marked blocks bench.py
+    owns). The blocks are ROUND-TAGGED: this run only ever rewrites its own
+    round's rows (ADVICE r4)."""
     path = os.path.join(repo, "BASELINE.md")
     if not os.path.exists(path):
         return
@@ -481,7 +491,7 @@ def _sync_baseline(repo: str, detail: dict | None = None, scaling: dict | None =
         text = f.read()
 
     def replace_block(tag: str, body: str, text: str) -> str:
-        begin, end = f"<!-- r4:{tag}:auto -->", f"<!-- /r4:{tag}:auto -->"
+        begin, end = f"<!-- {ROUND}:{tag}:auto -->", f"<!-- /{ROUND}:{tag}:auto -->"
         if begin not in text or end not in text:
             return text
         head, rest = text.split(begin, 1)
@@ -515,9 +525,9 @@ def _sync_baseline(repo: str, detail: dict | None = None, scaling: dict | None =
             body += (
                 f"- **GRADED: efficiency N→4N {scaling['pooled_efficiency_median']}** — "
                 f"median over {len(scaling['pooled_pairs'])} admitted pairs "
-                f"pooled across all {scaling['pooled_n_attempts']} r4 runs "
+                f"pooled across all {scaling['pooled_n_attempts']} {ROUND} runs "
                 f"{scaling['pooled_pairs']} (raw per-leg receipts in "
-                f".benchmarks/scaling_r4_attempt*.json). The bullets below "
+                f".benchmarks/scaling_{ROUND}_attempt*.json). The bullets below "
                 f"describe the LATEST run only.\n"
             )
         body += (

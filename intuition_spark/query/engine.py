@@ -142,7 +142,13 @@ class SearchEngine:
         self._tomb_cache: dict[tuple, np.ndarray] = {}
         # debug surface (Solr debugQuery analogue, SolrClientTool.java:274):
         # the terminal executor of the last search() stamps its name here, so
-        # explain() reports the EXECUTED path, never a re-derived guess
+        # explain() reports the EXECUTED path, never a re-derived guess.
+        # CONTRACT: shared mutable instance state, stamped at PLAN time —
+        # read it immediately after the search() call that produced it, from
+        # the same thread. Interleaved/concurrent searches on one engine, or
+        # reading after a later search, report the most recent plan's path
+        # (matching Solr, whose debug output is per-request; a per-request
+        # engine handle is the concurrency story, ADVICE r4).
         self.last_path: str | None = None
         self._load_stats()
         self._needs_warm: set[str] = set(self.paths)
@@ -555,6 +561,27 @@ class SearchEngine:
             self._result_cache.popitem(last=False)
         return out
 
+    def _fq_fold(self, a: str, q: Query) -> tuple[bool, np.ndarray | None, bool, bool]:
+        """Fold the query's fq predicates through the filterCache — the ONE
+        routing-state derivation shared by `_search_uncached` and the explain
+        surface (ADVICE r4: a private re-implementation in explain.py could
+        silently drift from the router's admission rule).
+
+        Returns ``(fast_ok, included, dist_filter, fq_preds)``: ``included``
+        is the bounded sorted id array the scorers intersect BEFORE any top-k
+        cut (None when there are no cacheable predicates, when filter_docs
+        forces the distributed path, or when a predicate is oversize);
+        ``fast_ok`` is the fq half of driver/WAND admission."""
+        dist_filter = q.filter_docs is not None
+        fq_preds = bool(q.field_eq) or q.require_no_tool or q.ts_after is not None
+        included: np.ndarray | None = None
+        fq_ok = False
+        if fq_preds and not dist_filter:
+            included = self._fq_ids(a, q)
+            fq_ok = included is not None  # None = predicate oversize
+        fast_ok = not (dist_filter or fq_preds) or fq_ok
+        return fast_ok, included, dist_filter, fq_preds
+
     def _search_uncached(self, q: Query, a: str, mode: str) -> DataFrame:
         # fq predicates split two ways (Solr semantics: ALL filter before
         # ranking). field_eq / require_no_tool / ts_after resolve through
@@ -563,18 +590,12 @@ class SearchEngine:
         # (the arbitrary doc-list shape) stays distributed-only: it routes
         # to the exhaustive path, where the predicate lands in the docs
         # join before the global ordering.
-        dist_filter = q.filter_docs is not None
-        fq_preds = bool(q.field_eq) or q.require_no_tool or q.ts_after is not None
+        fast_ok, included, dist_filter, fq_preds = self._fq_fold(a, q)
         has_filter = dist_filter or fq_preds
-        included: np.ndarray | None = None
-        fq_ok = False
-        if fq_preds and not dist_filter:
-            included = self._fq_ids(a, q)
-            fq_ok = included is not None  # None = predicate oversize
-            if fq_ok and included.size == 0:
-                self.last_path = "empty_fq"
-                return self._empty_hits()
-        fast_ok = not has_filter or fq_ok
+        fq_ok = included is not None
+        if fq_ok and included.size == 0:
+            self.last_path = "empty_fq"
+            return self._empty_hits()
         if q.fields and (len(q.fields) > 1 or any(w != 1.0 for w in q.fields.values())):
             # edismax qf: one query scored across several analyzed-field
             # indexes (a single field at boost 1.0 falls through to the
@@ -1324,6 +1345,10 @@ class SearchEngine:
         if terms is None:
             terms = self.expand_dictionary(a, pattern, q.kind)
         if not terms:
+            # distinct stamp: the expansion matched nothing, no scan ran —
+            # without it the path would read "multiterm_distributed" for a
+            # query that executed nothing (ADVICE r4)
+            self.last_path = "empty_multiterm"
             return self._empty_hits()
         rows = decode_blocks_df(self._blocks(a, terms))
         scored = rows.select("doc_id").distinct().withColumn("score", F.lit(1.0))
@@ -1397,7 +1422,10 @@ class SearchEngine:
         """Solr ``debugQuery=true`` analogue (`SolrClientTool.java:274`):
         run ``q`` and report the parse (analyzed atoms with df/cf/idf), the
         EXECUTED path, the driver-admission arithmetic, and the filterCache
-        resolution. See :mod:`intuition_spark.query.explain`."""
+        resolution. On a result-cache hit this re-runs the query cold to
+        report the real executor (costed separately as ``cold_rederive_s``)
+        — a debug surface, not a hot-path call. See
+        :mod:`intuition_spark.query.explain`."""
         from intuition_spark.query.explain import explain as _explain
 
         return _explain(self, q, mode)

@@ -53,18 +53,12 @@ _MULTITERM_KINDS = ("wildcard", "regex", "fuzzy")
 
 
 def _fast_path_state(engine, a: str, q: Query):
-    """(fast_ok, fq_ids, dist_filter) — the same fq folding _search_uncached
-    performs before admission, so the report never claims an admission state
-    the router can't reach."""
-    dist_filter = q.filter_docs is not None
-    fq_preds = bool(q.field_eq) or q.require_no_tool or q.ts_after is not None
-    ids = None
-    fq_ok = False
-    if fq_preds and not dist_filter:
-        ids = engine._fq_ids(a, q)
-        fq_ok = ids is not None
-    fast_ok = not (dist_filter or fq_preds) or fq_ok
-    return fast_ok, ids, dist_filter, fq_preds
+    """(fast_ok, fq_ids, dist_filter, fq_preds) — delegates to the engine's
+    own ``_fq_fold``, the SAME code path _search_uncached runs before
+    admission, so the report can never claim a routing state the router
+    doesn't use (ADVICE r4: the previous private re-implementation could
+    drift)."""
+    return engine._fq_fold(a, q)
 
 
 def explain(engine, q: Query, mode: str = "auto") -> dict:
@@ -73,6 +67,14 @@ def explain(engine, q: Query, mode: str = "auto") -> dict:
     ``wall_s`` times the ``search()`` call itself: driver fast paths execute
     eagerly inside it, distributed paths return lazy DataFrames so it
     measures planning only (the ``path`` field tells you which you got).
+
+    COST NOTE (ADVICE r4): when the query is a result-cache hit, the report
+    still shows the executor a COLD run takes — by re-running
+    ``_search_uncached`` (driver paths execute eagerly) and timing it as
+    ``cold_rederive_s``. Explaining a hot query therefore costs one full
+    cold execution; that is intentional (the debug surface answers "which
+    path WOULD this take", like Solr's debug on a queryResultCache hit),
+    but don't put explain() on a per-request hot path.
     """
     from intuition_spark.query.engine import bm25_idf
 
@@ -145,7 +147,7 @@ def explain(engine, q: Query, mode: str = "auto") -> dict:
             atoms = engine._parse_atoms(q, f)  # the engine's own parse
             all_terms = sorted({t for at in atoms for t in at.terms})
             dfs = engine._dfs_for_terms(f, all_terms)
-            cache = engine._dict_cache.get(f) or {}
+            cache = engine._dict_cache.get(f)
             atoms_info = []
             for at in atoms:
                 atoms_info.append({
@@ -157,7 +159,14 @@ def explain(engine, q: Query, mode: str = "auto") -> dict:
                         {
                             "term": t,
                             "df": int(dfs.get(t, 0)),
-                            "cf": int(cache.get(t, (0, 0))[1]),
+                            # cf None (not 0) when the dictionary cache is
+                            # absent — indistinguishable fallbacks lie; this
+                            # mirrors sum_df/sum_cf's degradation (ADVICE r4)
+                            "cf": (
+                                int(cache.get(t, (0, 0))[1])
+                                if cache is not None
+                                else None
+                            ),
                             "idf": round(bm25_idf(stats["N"], dfs.get(t, 0)), 6),
                         }
                         for t in at.terms

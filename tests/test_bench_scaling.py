@@ -124,15 +124,21 @@ def test_pool_attempts_medians_admitted_pairs_across_files(tmp_path):
 
     bdir = tmp_path / ".benchmarks"
     bdir.mkdir()
+    import bench
+
     runs = [
         {"efficiency_pairs": [0.9, 1.1, 0.8],
          "rejected_pairs": [{"efficiency": 0.2}]},  # rejected stays out
         {"efficiency_pairs": [1.0, 0.7]},
     ]
     for i, s in enumerate(runs, 1):
-        (bdir / f"scaling_r4_attempt{i}.json").write_text(
+        (bdir / f"scaling_{bench.ROUND}_attempt{i}.json").write_text(
             json.dumps({"scaling": s})
         )
+    # a PRIOR round's attempt must NOT pool into this round (ADVICE r4)
+    (bdir / "scaling_r0_attempt1.json").write_text(
+        json.dumps({"scaling": {"efficiency_pairs": [0.01]}})
+    )
     out = _pool_attempts(str(tmp_path))
     assert out["pooled_pairs"] == [0.9, 1.1, 0.8, 1.0, 0.7]
     assert out["pooled_efficiency_median"] == 0.9
@@ -145,8 +151,10 @@ def test_save_attempt_picks_next_free_slot(tmp_path):
 
     from bench import _save_attempt
 
+    import bench
+
     p1 = _save_attempt(str(tmp_path), {"efficiency_pairs": [1.0]})
     p2 = _save_attempt(str(tmp_path), {"efficiency_pairs": [0.9]})
-    assert p1.endswith("scaling_r4_attempt1.json")
-    assert p2.endswith("scaling_r4_attempt2.json")
+    assert p1.endswith(f"scaling_{bench.ROUND}_attempt1.json")
+    assert p2.endswith(f"scaling_{bench.ROUND}_attempt2.json")
     assert json.load(open(p2))["scaling"]["efficiency_pairs"] == [0.9]
