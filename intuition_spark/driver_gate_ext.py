@@ -1415,3 +1415,88 @@ def fts_q19_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
     )
     return spark.createDataFrame(out, schema="doc_id long, cluster int, label string")
+
+
+_SNIP_FRAG = 60
+_SNIP_TERMS = "('table','value')"
+
+
+@register(
+    "fts_engine_snippets",
+    f"""
+WITH {_BM25_CTES},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term IN {_SNIP_TERMS}
+       GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (c.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * s.dl / c.avgdl)) ) AS score,
+         count(*) AS ng
+  FROM tf JOIN df USING(term) JOIN doc_stats s USING(doc_id) CROSS JOIN corpus c
+  GROUP BY tf.doc_id),
+topk AS (SELECT doc_id, score FROM scored WHERE ng = 2 AND doc_id < 300
+         ORDER BY score DESC, CAST(doc_id AS VARCHAR) LIMIT 5),
+words AS (
+  SELECT t.doc_id, t.score,
+         unnest(string_split(d.text, ' ')) AS word,
+         generate_subscripts(string_split(d.text, ' '), 1) - 1 AS idx
+  FROM topk t JOIN documents d USING(doc_id)),
+pos AS (
+  SELECT doc_id, score, word, idx,
+         coalesce(sum(length(word) + 1) OVER (
+             PARTITION BY doc_id ORDER BY idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cstart
+  FROM words),
+wins AS (
+  SELECT h.doc_id, h.idx AS s, max(p.idx) AS e
+  FROM pos h JOIN pos p ON p.doc_id = h.doc_id AND p.idx >= h.idx
+       AND (p.idx = h.idx
+            OR p.cstart + length(p.word) - h.cstart <= {_SNIP_FRAG})
+  WHERE lower(h.word) IN {_SNIP_TERMS}
+  GROUP BY h.doc_id, h.idx),
+winsc AS (
+  SELECT w.doc_id, w.s, w.e,
+         count(*) FILTER (WHERE lower(p.word) IN {_SNIP_TERMS}) AS nh
+  FROM wins w JOIN pos p ON p.doc_id = w.doc_id AND p.idx BETWEEN w.s AND w.e
+  GROUP BY w.doc_id, w.s, w.e),
+best AS (
+  SELECT doc_id, s, e FROM winsc
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY nh DESC, s ASC) = 1)
+SELECT t.doc_id || ':0' AS doc, round(t.score, 4) AS score,
+       string_agg(CASE WHEN lower(p.word) IN {_SNIP_TERMS}
+                       THEN '<mark>' || p.word || '</mark>' ELSE p.word END,
+                  ' ' ORDER BY p.idx) AS snippet
+FROM topk t JOIN best b USING(doc_id)
+     JOIN pos p ON p.doc_id = b.doc_id AND p.idx BETWEEN b.s AND b.e
+GROUP BY t.doc_id, t.score
+""",
+    gated=False,  # the 50-entry driver window is full; EXTRA rows run the
+    # identical dual-engine check in pytest (tests/test_gate_extra.py)
+)
+def fts_engine_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fragment highlighting (`queryHighlightFragments` + its fq variant,
+    SolrClientTool.java:280-294, 296-326): BM25 top-5 for +table +value
+    under an fq candidate list (doc_id < 300 — the reference's `fq=pmid:(…)`
+    shape), then the best <mark>-wrapped fragment per hit under a
+    60-char budget. The window rule is deterministic (anchor at each hit
+    token, extend while end-start ≤ fragsize, most hits wins, leftmost on
+    ties) so the oracle reproduces the exact same choice in SQL — see
+    query/highlight.py:best_fragments."""
+    from intuition_spark.query.ast import Query
+    from intuition_spark.query.highlight import make_snippet_udf
+
+    eng = _engine(spark, sf_dir)
+    q = Query(
+        "gate_snip", "and", [["table"], ["value"]], k=5, analyzer="ws",
+        filter_docs=[f"{i}:0" for i in range(300)],
+    )
+    hits = eng.search(q)
+    docs = eng._docs("ws").select("doc", "text")
+    snip = make_snippet_udf(["table", "value"], analyzer="ws", fragsize=_SNIP_FRAG)
+    return hits.join(docs, "doc").select(
+        "doc",
+        F.round("score", 4).alias("score"),
+        F.element_at(snip(F.col("text")), 1).alias("snippet"),
+    )

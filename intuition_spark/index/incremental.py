@@ -144,9 +144,64 @@ def merge_delta(
     }
 
 
-def compact(spark: SparkSession, paths: IndexPaths, segs_per_job: int = 8) -> None:
+def compaction_pressure(spark: SparkSession, paths: IndexPaths) -> dict:
+    """Operational gauges for the auto-compaction policy: the tombstone
+    count/ratio and segment count of the live index. Cheap — tombstone and
+    doc counts come from parquet footer metadata, no data scan."""
+    with open(paths.stats) as f:
+        stats = json.load(f)
+    tomb = read_tombstones(spark, paths)
+    n_tomb = int(tomb.count()) if tomb is not None else 0
+    n_docs = int(stats.get("N", 0))
+    return {
+        "n_tombstones": n_tomb,
+        "n_docs": n_docs,
+        "deleted_ratio": (n_tomb / n_docs) if n_docs else 0.0,
+        "n_segments": int(stats.get("n_segments", 0)),
+    }
+
+
+def maybe_compact(
+    spark: SparkSession,
+    paths: IndexPaths,
+    max_deleted_ratio: float = 0.10,
+    max_segments: int | None = None,
+    segs_per_job: int = 8,
+) -> dict:
+    """Compaction policy hook (r4 verdict #10): compact when the deleted
+    fraction exceeds ``max_deleted_ratio`` (Lucene's default-ish merge
+    trigger) or the segment count exceeds ``max_segments``. This is the
+    operational story that keeps the query-time tombstone machinery bounded:
+    an engine whose tombstone set would otherwise grow past TOMB_MAX_IDS
+    (query/engine.py) gets compacted back to zero tombstones instead of
+    permanently paying the distributed-exclusion paths. Call it after every
+    ``merge_delta`` (a maintenance scheduler's analogue of the reference's
+    ~2-day refresh cycle, `config/ScheduledTasks.java:58-85`).
+
+    Returns the pressure gauges plus ``{"compacted": bool}``."""
+    p = compaction_pressure(spark, paths)
+    seg_trigger = max_segments is not None and p["n_segments"] > max_segments
+    trigger = p["deleted_ratio"] > max_deleted_ratio or seg_trigger
+    if trigger:
+        # on a segment-count trigger, also merge back down to the bound —
+        # otherwise delta-accumulated segments survive the rewrite and the
+        # policy re-fires forever
+        compact(
+            spark, paths, segs_per_job=segs_per_job,
+            n_segments=max_segments if seg_trigger else None,
+        )
+    return {**p, "compacted": bool(trigger)}
+
+
+def compact(
+    spark: SparkSession, paths: IndexPaths, segs_per_job: int = 8,
+    n_segments: int | None = None,
+) -> None:
     """Physically drop tombstoned docs: rebuild docs + postings from the live
-    doc set (Lucene merge analogue). Dictionary and stats refresh too."""
+    doc set (Lucene merge analogue). Dictionary and stats refresh too.
+    ``n_segments`` overrides the rebuilt segment count (default: keep the
+    current count) — the maybe_compact segment-pressure path uses it to
+    merge delta-accumulated segments back down."""
     tomb = read_tombstones(spark, paths)
     docs = spark.read.parquet(paths.docs)
     if tomb is not None:
@@ -162,7 +217,8 @@ def compact(spark: SparkSession, paths: IndexPaths, segs_per_job: int = 8) -> No
     shutil.rmtree(tmp.root, ignore_errors=True)
     os.makedirs(tmp.root)
     prepare_docs(
-        spark, live, tmp, analyzer=stats["analyzer"], n_segments=stats["n_segments"],
+        spark, live, tmp, analyzer=stats["analyzer"],
+        n_segments=n_segments if n_segments is not None else stats["n_segments"],
         extra_meta_cols=extra_cols,
     )
     build_postings(spark, tmp, segs_per_job=segs_per_job)

@@ -35,7 +35,7 @@ from pyspark.sql import types as T
 
 from intuition_spark.analysis.analyzers import analyze_text
 from intuition_spark.index import codec
-from intuition_spark.index.builder import IndexPaths, decode_blocks_df
+from intuition_spark.index.builder import SEG_SHIFT, IndexPaths, decode_blocks_df
 from intuition_spark.query import wand
 from intuition_spark.query.ast import Query
 
@@ -102,6 +102,13 @@ class SearchEngine:
     # distributed exhaustive path (filter pushed into the docs join) instead.
     FQ_CACHE_MAX = int(os.environ.get("INTUITION_FQ_CACHE_MAX", "64"))
     FQ_MAX_IDS = int(os.environ.get("INTUITION_FQ_MAX_IDS", "2000000"))
+    # tombstone sets up to this size collect to the driver (one sorted array
+    # intersected into every scorer — the Lucene liveDocs-bitset analogue);
+    # past it they stay DISTRIBUTED: exhaustive paths anti-join the tombstone
+    # parquet, WAND paths receive per-segment tombstone partitions through
+    # the cogrouped scorer. A tenant deleting 10% of a 10^12-turn index
+    # between compactions can no longer break the driver (r4 verdict #4).
+    TOMB_MAX_IDS = int(os.environ.get("INTUITION_TOMB_MAX_IDS", "2000000"))
 
     def __init__(
         self,
@@ -139,7 +146,8 @@ class SearchEngine:
         self._fq_cache: OrderedDict[tuple, np.ndarray | None] = OrderedDict()
         self._postings_reader: dict[str, DataFrame] = {}
         self._docs_reader: dict[str, DataFrame] = {}
-        self._tomb_cache: dict[tuple, np.ndarray] = {}
+        # value None = oversize sentinel (set larger than TOMB_MAX_IDS)
+        self._tomb_cache: dict[tuple, np.ndarray | None] = {}
         # debug surface (Solr debugQuery analogue, SolrClientTool.java:274):
         # the terminal executor of the last search() stamps its name here, so
         # explain() reports the EXECUTED path, never a re-derived guess.
@@ -303,10 +311,38 @@ class SearchEngine:
             F.max("max_tf").alias("max_tf"),
         )
 
-    def _tombstones(self, a: str) -> np.ndarray:
-        """Sorted doc_ids deleted by incremental upserts (empty if none).
-        Cached per (analyzer, dir mtime) — the set is broadcast-small by
-        design (compaction bounds it)."""
+    def _tomb_df(self, a: str) -> DataFrame | None:
+        """Tombstoned doc_ids visible to this engine's view, as a DataFrame
+        (None when the index has no tombstone table). This is the distributed
+        form — nothing collects to the driver."""
+        import os as _os
+
+        p = _os.path.join(self.paths[a].root, "tombstones")
+        if not _os.path.exists(p):
+            return None
+        snap = self._snap.get(a)
+        if snap is not None:
+            # deleted-as-of = rows stamped at or before this commit;
+            # legacy unstamped rows read as commit 0 (always deleted).
+            # mergeSchema covers mixed stamped/unstamped file sets.
+            df = self.spark.read.option("mergeSchema", "true").parquet(p)
+            cid = (
+                F.coalesce(F.col("commit_id"), F.lit(0))
+                if "commit_id" in df.columns
+                else F.lit(0)
+            )
+            df = df.filter(cid <= snap["snapshot_id"])
+        else:
+            df = self.spark.read.parquet(p)
+        return df.select("doc_id")
+
+    def _tombstones(self, a: str) -> np.ndarray | None:
+        """Sorted doc_ids deleted by incremental upserts (empty if none), or
+        ``None`` when the set exceeds TOMB_MAX_IDS — past that bound nothing
+        collects to the driver and callers must use the distributed form
+        (``_tomb_df`` anti-joins; per-segment cogroup partitions for WAND).
+        Cached per (analyzer, dir mtime); compaction usually bounds the set
+        well under the threshold."""
         import os as _os
 
         p = _os.path.join(self.paths[a].root, "tombstones")
@@ -315,25 +351,42 @@ class SearchEngine:
         snap = self._snap.get(a)
         mtime = _os.path.getmtime(p)
         key = (a, mtime, snap["snapshot_id"] if snap else None)
-        cached = self._tomb_cache.get(key)
-        if cached is None:
-            if snap is not None:
-                # deleted-as-of = rows stamped at or before this commit;
-                # legacy unstamped rows read as commit 0 (always deleted).
-                # mergeSchema covers mixed stamped/unstamped file sets.
-                df = self.spark.read.option("mergeSchema", "true").parquet(p)
-                cid = (
-                    F.coalesce(F.col("commit_id"), F.lit(0))
-                    if "commit_id" in df.columns
-                    else F.lit(0)
-                )
-                df = df.filter(cid <= snap["snapshot_id"])
+        if key not in self._tomb_cache:
+            pdf = self._tomb_df(a).limit(self.TOMB_MAX_IDS + 1).toPandas()
+            if len(pdf) > self.TOMB_MAX_IDS:
+                self._tomb_cache = {key: None}  # oversize sentinel
             else:
-                df = self.spark.read.parquet(p)
-            ids = df.select("doc_id").toPandas()["doc_id"].to_numpy()
-            cached = np.sort(ids.astype(np.int64))
-            self._tomb_cache = {key: cached}
-        return cached
+                ids = pdf["doc_id"].to_numpy()
+                self._tomb_cache = {key: np.sort(ids.astype(np.int64))}
+        return self._tomb_cache[key]
+
+    def _is_tombstoned(self, a: str, doc_id: int) -> bool:
+        """Point membership test working in both regimes: binary search on
+        the cached array when small, a pushdown point-scan when oversize."""
+        tomb = self._tombstones(a)
+        if tomb is not None:
+            return tomb.size > 0 and bool(
+                wand.in_sorted(np.asarray([doc_id], dtype=np.int64), tomb)[0]
+            )
+        tdf = self._tomb_df(a)
+        return tdf is not None and bool(
+            tdf.filter(F.col("doc_id") == int(doc_id)).limit(1).count()
+        )
+
+    def _has_tombstones(self, a: str) -> bool:
+        tomb = self._tombstones(a)
+        return tomb.size > 0 if tomb is not None else True
+
+    def _tombstones_strict(self, a: str) -> np.ndarray:
+        """Tombstone array for driver-side scorers, which can only run when
+        the set is bounded — routing must have gone distributed otherwise."""
+        tomb = self._tombstones(a)
+        if tomb is None:
+            raise RuntimeError(
+                "driver-side scorer reached with an oversize tombstone set "
+                f"(> TOMB_MAX_IDS={self.TOMB_MAX_IDS}); routing bug"
+            )
+        return tomb
 
     def _field_cond(self, a: str, fcol: str, fval):
         """Spark predicate for one field_eq entry, schema-driven: equality on
@@ -389,19 +442,24 @@ class SearchEngine:
                     atoms.append(_Atom(gid, toks, q.slop, atom))
         return atoms
 
-    def _finalize(self, scored: DataFrame, q: Query, a: str, order=("score",)) -> DataFrame:
+    def _finalize(
+        self, scored: DataFrame, q: Query, a: str, order=("score",),
+        skip_tomb: bool = False,
+    ) -> DataFrame:
         """fq-style predicates + hydration join + canonical top-k order.
 
         Mirrors lifecycle step 4 of `/query2` (hydrate by id then order,
-        `controller/ArticleController.java:465-473`).
+        `controller/ArticleController.java:465-473`). ``skip_tomb`` elides
+        the tombstone anti-join when the scorer already applied exclusions
+        per segment (the distributed cogroup path) — above TOMB_MAX_IDS the
+        anti-join is a real shuffle, not a broadcast, so redundancy there
+        has a cost the small case doesn't.
         """
         sel = ["doc_id", "doc", "conv_id", "turn_idx", "ts", "role", "tool"]
         extra = [c for c in (q.field_eq or {}) if c not in sel]
         docs = self._docs(a).select(*sel, *extra)
-        tomb = self._tombstones(a)
-        if tomb.size:
-            tdf = self.spark.createDataFrame([(int(t),) for t in tomb], ["doc_id"])
-            scored = scored.join(F.broadcast(tdf), "doc_id", "left_anti")
+        if not skip_tomb:
+            scored = self._anti_join_tombstones(scored, a)
         if q.filter_docs is not None:
             flt = self.spark.createDataFrame([(d,) for d in q.filter_docs], ["doc"])
             docs = docs.join(F.broadcast(flt), "doc", "left_semi")
@@ -582,6 +640,23 @@ class SearchEngine:
         fast_ok = not (dist_filter or fq_preds) or fq_ok
         return fast_ok, included, dist_filter, fq_preds
 
+    def _fq_pred_df(self, a: str, q: Query) -> DataFrame:
+        """The query's cacheable fq predicates resolved DISTRIBUTED: one
+        pushdown-filtered scan of the docs store → (seg, doc_id). This is how
+        an oversize predicate (> FQ_MAX_IDS matches — e.g. `role:assistant`
+        over 10^12 turns) reaches the WAND scorer without abandoning pruning:
+        the ids stay partitioned, cogrouped with the posting blocks on seg
+        (reference semantics: fq is cached AND ranked under,
+        `SolrClientTool.java:273,317`)."""
+        docs = self._docs(a)
+        for fcol, fval in (q.field_eq or {}).items():
+            docs = docs.filter(self._field_cond(a, fcol, fval))
+        if q.require_no_tool:
+            docs = docs.filter(F.col("tool").isNull())
+        if q.ts_after is not None:
+            docs = docs.filter(F.col("ts") >= F.lit(q.ts_after))
+        return docs.select("seg", "doc_id")
+
     def _search_uncached(self, q: Query, a: str, mode: str) -> DataFrame:
         # fq predicates split two ways (Solr semantics: ALL filter before
         # ranking). field_eq / require_no_tool / ts_after resolve through
@@ -596,6 +671,12 @@ class SearchEngine:
         if fq_ok and included.size == 0:
             self.last_path = "empty_fq"
             return self._empty_hits()
+        # driver fast paths additionally need the tombstone set driver-side
+        # (the scorers intersect it as a sorted array); an oversize set
+        # routes to the distributed paths, which exclude it per segment /
+        # via anti-join without ever materializing it on the driver
+        tomb_ok = self._tombstones(a) is not None
+        driver_ok = mode == "auto" and fast_ok and tomb_ok
         if q.fields and (len(q.fields) > 1 or any(w != 1.0 for w in q.fields.values())):
             # edismax qf: one query scored across several analyzed-field
             # indexes (a single field at boost 1.0 falls through to the
@@ -604,11 +685,11 @@ class SearchEngine:
         ex_terms = self._exclude_terms(q, a)
         if q.kind in ("wildcard", "regex", "fuzzy"):
             return self._search_multiterm(
-                q, a, driver_ok=(mode == "auto" and fast_ok), ex_terms=ex_terms,
+                q, a, driver_ok=driver_ok, ex_terms=ex_terms,
                 included=included,
             )
         if q.kind == "tf_sort":
-            if mode == "auto" and fast_ok:
+            if driver_ok:
                 term = analyze_text(q.groups[0][0], self._analyzer_of(a))[0][0]
                 if self._small_enough(a, [term] + ex_terms):
                     return self._driver_tf_sort(
@@ -620,7 +701,7 @@ class SearchEngine:
             self.last_path = "empty_no_atoms"
             return self._empty_hits()
         has_phrase = any(len(at.terms) > 1 for at in atoms)
-        if mode == "auto" and fast_ok:
+        if driver_ok:
             terms = sorted({t for at in atoms for t in at.terms})
             if self._small_enough(a, terms + ex_terms, positional=has_phrase):
                 excluded = self._excluded_ids(a, ex_terms)
@@ -630,17 +711,25 @@ class SearchEngine:
         # WAND applies MUST_NOT inside the scorer (before per-segment top-k),
         # which needs the excluded ids driver-side — only safe when the
         # excluded postings are small; a head-term exclusion routes to the
-        # exhaustive path's distributed anti-join instead. Likewise fq
-        # predicates must reach the scorer as `included` ids: a filtered
-        # query whose predicate can't resolve to a bounded id array
-        # (dist_filter shapes, oversize field_eq) takes the exhaustive path
-        # even under an explicit mode="wand" — the mode is an optimization
-        # hint and never changes result semantics.
+        # exhaustive path's distributed anti-join instead. fq predicates
+        # reach the scorer either as bounded `included` ids (filterCache) or,
+        # when a predicate is oversize, as a DISTRIBUTED per-segment id frame
+        # cogrouped with the blocks — ranking stays under WAND pruning in
+        # both regimes (r4 verdict #1). Only the arbitrary-doc-list shape
+        # (filter_docs) still forces the exhaustive path, even under an
+        # explicit mode="wand" — the mode is an optimization hint and never
+        # changes result semantics.
         small_ex = not ex_terms or self._small_enough(a, ex_terms)
-        if (mode in ("wand", "auto") and not has_phrase and small_ex and fast_ok):
+        if mode in ("wand", "auto") and not has_phrase and small_ex and not dist_filter:
+            fq_df = self._fq_pred_df(a, q) if (fq_preds and not fq_ok) else None
+            if tomb_ok:
+                excluded, tomb_df = self._excluded_ids(a, ex_terms), None
+            else:
+                excluded = self._excluded_ids(a, ex_terms, include_tombstones=False)
+                tomb_df = self._tomb_df(a)
             return self._search_wand(
-                q, a, atoms, prune=True, excluded=self._excluded_ids(a, ex_terms),
-                included=included,
+                q, a, atoms, prune=True, excluded=excluded, included=included,
+                fq_df=fq_df, tomb_df=tomb_df,
             )
         return self._search_exhaustive(q, a, atoms, ex_terms)
 
@@ -662,6 +751,17 @@ class SearchEngine:
             out.extend(toks)
         return sorted(set(out))
 
+    def _anti_join_tombstones(self, df: DataFrame, a: str) -> DataFrame:
+        """Tombstone exclusion on a distributed frame: broadcast the cached
+        array when bounded, anti-join the tombstone parquet when oversize."""
+        tomb = self._tombstones(a)
+        if tomb is None:
+            return df.join(self._tomb_df(a), "doc_id", "left_anti")
+        if tomb.size:
+            tdf = self.spark.createDataFrame([(int(t),) for t in tomb], ["doc_id"])
+            return df.join(F.broadcast(tdf), "doc_id", "left_anti")
+        return df
+
     def _anti_join_excluded(self, df: DataFrame, a: str, ex_terms: list[str]) -> DataFrame:
         """MUST_NOT as a distributed anti-join on the excluded terms' postings
         — scales to head-term exclusions (nothing collects to the driver)."""
@@ -670,10 +770,19 @@ class SearchEngine:
         ex_docs = decode_blocks_df(self._blocks(a, ex_terms)).select("doc_id").distinct()
         return df.join(ex_docs, "doc_id", "left_anti")
 
-    def _excluded_ids(self, a: str, ex_terms: list[str]) -> np.ndarray:
+    def _excluded_ids(
+        self, a: str, ex_terms: list[str], include_tombstones: bool = True
+    ) -> np.ndarray | None:
         """Tombstones ∪ doc ids of the excluded terms, as one sorted array for
-        the scorers (the same mechanism incremental deletes use)."""
-        tomb = self._tombstones(a)
+        the scorers (the same mechanism incremental deletes use). Returns
+        ``None`` when the tombstone set is oversize (TOMB_MAX_IDS) — the
+        caller must route tombstone exclusion distributed and may re-call
+        with ``include_tombstones=False`` for the (small) term-only side."""
+        tomb = (
+            self._tombstones(a) if include_tombstones else np.empty(0, dtype=np.int64)
+        )
+        if tomb is None:
+            return None
         if not ex_terms:
             return tomb
         pdf = self._collect_blocks(a, ex_terms)
@@ -794,7 +903,7 @@ class SearchEngine:
         if pdf.empty:
             return self._empty_hits()
         if excluded is None:
-            excluded = self._tombstones(a)
+            excluded = self._tombstones_strict(a)
         depth = q.k + q.offset  # paging: the boundary moves to offset+k
         scorer = wand.make_segment_scorer(
             meta, n_groups, depth, avgdl, prune=True, excluded=excluded,
@@ -831,7 +940,7 @@ class SearchEngine:
         docs = np.concatenate(docs_l).astype(np.int64)
         tfs = np.concatenate(tfs_l).astype(np.int64)
         if excluded is None:
-            excluded = self._tombstones(a)
+            excluded = self._tombstones_strict(a)
         if excluded.size:
             keep = ~wand.in_sorted(docs, excluded)
             docs, tfs = docs[keep], tfs[keep]
@@ -923,7 +1032,7 @@ class SearchEngine:
         )
         agg = agg[agg["ng"] == n_groups]
         if excluded is None:
-            excluded = self._tombstones(a)
+            excluded = self._tombstones_strict(a)
         if excluded.size:
             agg = agg[~agg.index.isin(excluded)]
         if included is not None:  # fq intersection BEFORE the k cut
@@ -990,32 +1099,86 @@ class SearchEngine:
                     meta[t] = (at.gid, bm25_idf(N, dfs.get(t, 0)))
         return meta, len({at.gid for at in atoms})
 
+    def _aux_ids_df(
+        self, fq_df: DataFrame | None, tomb_df: DataFrame | None
+    ) -> DataFrame:
+        """(seg, doc_id, kind) union of the distributed fq side (kind=1) and
+        the distributed tombstone side (kind=0) for the cogrouped scorer.
+        fq rows come from the docs store with seg already a column; tombstone
+        rows recover it from the id (doc_id = seg << SEG_SHIFT | row)."""
+        parts: list[DataFrame] = []
+        if fq_df is not None:
+            parts.append(
+                fq_df.select(
+                    F.col("seg").cast("int").alias("seg"),
+                    F.col("doc_id").cast("long").alias("doc_id"),
+                    F.lit(1).alias("kind"),
+                )
+            )
+        if tomb_df is not None:
+            parts.append(
+                tomb_df.select(
+                    F.shiftright(F.col("doc_id"), SEG_SHIFT).cast("int").alias("seg"),
+                    F.col("doc_id").cast("long").alias("doc_id"),
+                    F.lit(0).alias("kind"),
+                )
+            )
+        aux = parts[0]
+        for p in parts[1:]:
+            aux = aux.unionByName(p)
+        return aux
+
     def _search_wand(
         self, q: Query, a: str, atoms: list[_Atom], prune: bool,
         excluded: np.ndarray | None = None, included: np.ndarray | None = None,
+        fq_df: DataFrame | None = None, tomb_df: DataFrame | None = None,
     ) -> DataFrame:
-        self.last_path = "wand_distributed"
+        """Distributed per-segment block-max WAND. ``included``/``excluded``
+        are the driver-side (bounded) id arrays; ``fq_df``/``tomb_df`` are
+        the DISTRIBUTED forms for predicates/tombstone sets above the
+        driver bounds — they cogroup with the posting blocks on seg, so the
+        filter still applies BEFORE each segment's top-k (Solr fq semantics:
+        filter, then rank) and pruning is kept exactly when it matters most
+        (r4 verdict #1: at 10^12 turns even `role:assistant` is oversize)."""
         meta, n_groups = self._term_meta(a, atoms)
         avgdl = self.stats[a]["avgdl"]
         blocks = self._blocks(a, list(meta)).select(
             "seg", "term", "blk", "n", "first_doc", "last_doc", "max_tf", "min_dl",
             "docs_bin", "tfs_bin", "dls_bin",
         )
-        if excluded is None:
-            excluded = self._tombstones(a)
-        # `included` (filterCache fq ids) reaches the scorer so the filter
-        # applies BEFORE each segment's top-k — without it a filtered
-        # per-segment top-k would drop docs the predicate keeps but the
-        # unfiltered ranking cuts (Solr fq semantics: filter, then rank).
-        scorer = wand.make_segment_scorer(
-            meta, n_groups, q.k + q.offset, avgdl, prune=prune, excluded=excluded,
-            included=included,
-        )
         out_schema = T.StructType(
             [T.StructField("doc_id", T.LongType()), T.StructField("score", T.DoubleType())]
         )
-        local_topk = blocks.groupBy("seg").applyInPandas(scorer, out_schema)
-        return self._finalize(local_topk, q, a)
+        depth = q.k + q.offset
+        if fq_df is None and tomb_df is None:
+            self.last_path = "wand_distributed"
+            if excluded is None:
+                excluded = self._tombstones(a)  # routing guarantees not None
+            # `included` (filterCache fq ids) reaches the scorer so the filter
+            # applies BEFORE each segment's top-k — without it a filtered
+            # per-segment top-k would drop docs the predicate keeps but the
+            # unfiltered ranking cuts (Solr fq semantics: filter, then rank).
+            scorer = wand.make_segment_scorer(
+                meta, n_groups, depth, avgdl, prune=prune, excluded=excluded,
+                included=included,
+            )
+            local_topk = blocks.groupBy("seg").applyInPandas(scorer, out_schema)
+            return self._finalize(local_topk, q, a)
+        self.last_path = "wand_distfq" if fq_df is not None else "wand_disttomb"
+        aux = self._aux_ids_df(fq_df, tomb_df)
+        scorer = wand.make_cogroup_segment_scorer(
+            meta, n_groups, depth, avgdl, prune=prune, excluded=excluded,
+            included=included, dist_included=fq_df is not None,
+            dist_excluded=tomb_df is not None,
+        )
+        local_topk = (
+            blocks.groupBy("seg")
+            .cogroup(aux.groupBy("seg"))
+            .applyInPandas(scorer, out_schema)
+        )
+        # the scorer already applied the distributed tombstone partitions —
+        # skip _finalize's anti-join only when IT was the tombstone mechanism
+        return self._finalize(local_topk, q, a, skip_tomb=tomb_df is not None)
 
     def _field_contrib_frames(
         self, a: str, atoms: list[_Atom], boost: float
@@ -1111,11 +1274,16 @@ class SearchEngine:
                     f"{sig} for {f!r}"
                 )
 
-    def _excluded_union(self, per: list, ex_by_f: dict[str, list[str]]) -> np.ndarray:
+    def _excluded_union(self, per: list, ex_by_f: dict[str, list[str]]) -> np.ndarray | None:
         """Tombstones ∪ MUST_NOT doc ids across every scored field (a doc
         deleted in any field's index, or containing an excluded term in any
-        field, is out — Lucene MUST_NOT over the whole boolean)."""
+        field, is out — Lucene MUST_NOT over the whole boolean). ``None``
+        when any field's tombstone set is oversize — multi-field queries
+        then take the exhaustive path, whose tombstone handling is fully
+        distributed."""
         arrs = [self._excluded_ids(f, ex_by_f[f]) for f, _, _ in per]
+        if any(x is None for x in arrs):
+            return None
         arrs = [x for x in arrs if x.size]
         if not arrs:
             return np.empty(0, dtype=np.int64)
@@ -1161,13 +1329,17 @@ class SearchEngine:
             )
             if small:
                 excluded = self._excluded_union(per, ex_by_f)
-                return self._driver_multifield(q, per, n_groups, excluded, included)
+                if excluded is not None:  # None = oversize tombstones
+                    return self._driver_multifield(q, per, n_groups, excluded, included)
         small_ex = all(
             not ex_by_f[f] or self._small_enough(f, ex_by_f[f]) for f, _, _ in per
         )
         if mode in ("wand", "auto") and not has_phrase and small_ex and fast_ok:
             excluded = self._excluded_union(per, ex_by_f)
-            return self._search_multifield_wand(q, a0, per, n_groups, excluded, included)
+            if excluded is not None:
+                return self._search_multifield_wand(
+                    q, a0, per, n_groups, excluded, included
+                )
         return self._search_multifield_exhaustive(q, a0, per, gids, ex_by_f)
 
     def _driver_multifield(
@@ -1250,12 +1422,7 @@ class SearchEngine:
         for f, _, _ in per:
             scored = self._anti_join_excluded(scored, f, ex_by_f[f])
             if f != a0:  # _finalize anti-joins a0's tombstones already
-                tomb = self._tombstones(f)
-                if tomb.size:
-                    tdf = self.spark.createDataFrame(
-                        [(int(t),) for t in tomb], ["doc_id"]
-                    )
-                    scored = scored.join(F.broadcast(tdf), "doc_id", "left_anti")
+                scored = self._anti_join_tombstones(scored, f)
         return self._finalize(scored, q, a0)
 
     def _phrase_contrib(self, a: str, at: _Atom, idf_sum: float, avgdl: float) -> DataFrame:
@@ -1301,10 +1468,7 @@ class SearchEngine:
         rows = decode_blocks_df(self._blocks(a, [term])).select(
             "doc_id", F.col("tf").cast("double").alias("score")
         )
-        tomb = self._tombstones(a)
-        if tomb.size:
-            tdf = self.spark.createDataFrame([(int(t),) for t in tomb], ["doc_id"])
-            rows = rows.join(F.broadcast(tdf), "doc_id", "left_anti")
+        rows = self._anti_join_tombstones(rows, a)
         rows = self._anti_join_excluded(rows, a, ex_terms or [])
         sel = ["doc_id", "doc", "conv_id", "turn_idx", "ts", "role", "tool"]
         extra = [c for c in (q.field_eq or {}) if c not in sel]
@@ -1371,7 +1535,7 @@ class SearchEngine:
             ).astype(np.int64)
         )
         if excluded is None:
-            excluded = self._tombstones(a)
+            excluded = self._tombstones_strict(a)
         if excluded.size:
             docs = docs[~wand.in_sorted(docs, excluded)]
         if included is not None:  # fq intersection BEFORE the k cut

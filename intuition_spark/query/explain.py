@@ -195,9 +195,13 @@ def explain(engine, q: Query, mode: str = "auto") -> dict:
             "positions_budget": engine.SMALL_QUERY_POSITIONS if positional else None,
             # what `auto` mode actually checks: postings volume AND the fq
             # fast-path state (an oversize/distributed fq bars the driver)
+            # AND a driver-side-bounded tombstone set (an oversize one keeps
+            # exclusion distributed, so driver scorers are barred too)
             "postings_small_enough": engine._small_enough(f, adm_terms, positional),
             "fq_fast_path_ok": fast_ok,
+            "tombstones_small": engine._tombstones(f) is not None,
             "driver_eligible": fast_ok
+            and engine._tombstones(f) is not None
             and engine._small_enough(f, adm_terms, positional),
         }
         per_field.append(finfo)
@@ -401,12 +405,9 @@ def explain_doc(engine, q: Query, doc: str) -> dict:
         })
     dead_in = [
         f for f in fields
-        if engine._tombstones(f).size
-        and bool(wand.in_sorted(
-            np.asarray([doc_id], dtype=np.int64), engine._tombstones(f)
-        )[0])
+        if engine._has_tombstones(f) and engine._is_tombstoned(f, doc_id)
     ]
-    if any(engine._tombstones(f).size for f in fields):
+    if any(engine._has_tombstones(f) for f in fields):
         gates.append({"gate": "tombstones", "pass": not dead_in,
                       **({"deleted_in": dead_in} if dead_in else {})})
     for fcol, fval in sorted((q.field_eq or {}).items()):

@@ -73,6 +73,105 @@ def highlight_results(results: DataFrame, terms: list[str], analyzer: str = "sta
     return results.withColumn("highlighted", udf(F.col(text_col)))
 
 
+def _token_spans(text: str, whitespace_only: bool) -> list[tuple[int, int]]:
+    if whitespace_only:
+        return [(m.start(), m.end()) for m in re.finditer(r"\S+", text)]
+    return [(m.start(), m.end()) for m in _TOKEN_RE.finditer(text.lower())]
+
+
+def best_fragments(
+    text: str,
+    want: set[str],
+    analyzer: str = "standard",
+    fragsize: int = 100,
+    n_frags: int = 1,
+) -> list[str]:
+    """Deterministic best-fragment selection under a char budget — the
+    Solr ``hl.fragsize`` mode (`SolrClientTool.java:280-294`: default
+    fragsize snippets, vs the whole-field fragsize=0 mode of
+    :func:`make_highlight_udf`).
+
+    Rule (reproducible in plain SQL, see the `fts_engine_snippets` oracle):
+    token spans are analyzer-matched against the query terms; every HIT
+    token anchors a candidate window extending forward over tokens while
+    (window_end_char - anchor_start_char) ≤ fragsize; the best window is
+    the one containing the most hit tokens, leftmost on ties. Further
+    fragments (``n_frags`` > 1) repeat the choice over anchors that don't
+    overlap an already-chosen window. Matched tokens are ``<mark>``-wrapped;
+    docs with no match return []."""
+    a = ANALYZERS[analyzer]
+    spans = _token_spans(text, a.whitespace_only)
+    low = text.lower()
+    hit = []
+    for s, e in spans:
+        analyzed = analyze_text(low[s:e], analyzer)
+        hit.append(bool(analyzed) and analyzed[0][0] in want)
+    anchors = [i for i, h in enumerate(hit) if h]
+    if not anchors:
+        return []
+    # candidate window per anchor: [i, end(i)] under the char budget
+    cands = []
+    for i in anchors:
+        j = i
+        while j + 1 < len(spans) and spans[j + 1][1] - spans[i][0] <= fragsize:
+            j += 1
+        nh = sum(hit[i : j + 1])
+        cands.append((nh, i, j))
+    out: list[str] = []
+    taken: list[tuple[int, int]] = []
+    for _ in range(n_frags):
+        live = [
+            c for c in cands
+            if not any(c[1] <= hi and lo <= c[2] for lo, hi in taken)
+        ]
+        if not live:
+            break
+        nh, i, j = max(live, key=lambda c: (c[0], -c[1]))
+        taken.append((i, j))
+        parts = []
+        last = spans[i][0]
+        for t in range(i, j + 1):
+            s, e = spans[t]
+            if hit[t]:
+                parts += [text[last:s], "<mark>", text[s:e], "</mark>"]
+                last = e
+        parts.append(text[last : spans[j][1]])
+        out.append("".join(parts))
+    return out
+
+
+def make_snippet_udf(
+    terms: list[str], analyzer: str = "standard", fragsize: int = 100,
+    n_frags: int = 1,
+):
+    """pandas UDF: text → array of best ``<mark>``-wrapped fragments (empty
+    for non-matching docs). Post-retrieval over the top-k only — like
+    :func:`make_highlight_udf`, never a scan op."""
+    want = set(terms)
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def snippets(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: best_fragments(t, want, analyzer, fragsize, n_frags)
+            if t is not None
+            else None
+        )
+
+    return snippets
+
+
+def snippet_results(
+    results: DataFrame, terms: list[str], analyzer: str = "standard",
+    fragsize: int = 100, n_frags: int = 1, text_col: str = "text",
+) -> DataFrame:
+    """Attach a `snippets` column (best fragments under the char budget) to a
+    (small, top-k) result DataFrame — `queryHighlightFragments`,
+    `SolrClientTool.java:280-294`; the fq variant is the same call over a
+    filtered query's results (`:296-326`), covered by the gate entry."""
+    udf = make_snippet_udf(terms, analyzer, fragsize, n_frags)
+    return results.withColumn("snippets", udf(F.col(text_col)))
+
+
 SENTENCES_SCHEMA = T.ArrayType(T.StringType())
 
 

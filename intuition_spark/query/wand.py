@@ -264,6 +264,45 @@ def score_segment_topk(
     return docs, scores
 
 
+def build_term_blocks(
+    pdf: pd.DataFrame,
+    term_meta: dict,
+    avgdl: float,
+) -> list[TermBlocks]:
+    """Block rows of ONE segment → TermBlocks list (shared by the plain and
+    cogrouped scorer factories). Multi-field queries ship a ``fld`` column
+    alongside ``term`` (a field name can't be smuggled INTO the term string —
+    analyzed terms may contain any separator byte); meta is then keyed by
+    (fld, term)."""
+    tbs: list[TermBlocks] = []
+    multifield = "fld" in pdf.columns
+    gcols = ["fld", "term"] if multifield else "term"
+    for tkey, tdf in pdf.groupby(gcols, sort=False):
+        gid, idf, *rest = term_meta[tuple(tkey) if multifield else tkey]
+        t_avgdl = rest[0] if rest else avgdl
+        term = tkey[1] if multifield else tkey
+        # block ids are only unique per build task; first_doc is the true
+        # global order (ranges are disjoint by construction)
+        tdf = tdf.sort_values("first_doc")
+        tbs.append(
+            TermBlocks(
+                term=term,
+                gid=gid,
+                idf=idf,
+                first=tdf["first_doc"].to_numpy(np.int64),
+                last=tdf["last_doc"].to_numpy(np.int64),
+                max_tf=tdf["max_tf"].to_numpy(np.int64),
+                min_dl=tdf["min_dl"].to_numpy(np.int64),
+                avgdl=t_avgdl,
+                docs_bin=list(tdf["docs_bin"]),
+                tfs_bin=list(tdf["tfs_bin"]),
+                dls_bin=list(tdf["dls_bin"]),
+                ns=tdf["n"].to_numpy(np.int64),
+            )
+        )
+    return tbs
+
+
 def make_segment_scorer(
     term_meta: dict[str, tuple[int, float]],
     n_groups: int,
@@ -287,37 +326,73 @@ def make_segment_scorer(
     """
 
     def scorer(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        tbs = []
-        # multi-field queries ship a `fld` column alongside `term` (a field
-        # name can't be smuggled INTO the term string — analyzed terms may
-        # contain any separator byte); meta is then keyed by (fld, term)
-        multifield = "fld" in pdf.columns
-        gcols = ["fld", "term"] if multifield else "term"
-        for tkey, tdf in pdf.groupby(gcols, sort=False):
-            gid, idf, *rest = term_meta[tuple(tkey) if multifield else tkey]
-            t_avgdl = rest[0] if rest else avgdl
-            term = tkey[1] if multifield else tkey
-            # block ids are only unique per build task; first_doc is the true
-            # global order (ranges are disjoint by construction)
-            tdf = tdf.sort_values("first_doc")
-            tbs.append(
-                TermBlocks(
-                    term=term,
-                    gid=gid,
-                    idf=idf,
-                    first=tdf["first_doc"].to_numpy(np.int64),
-                    last=tdf["last_doc"].to_numpy(np.int64),
-                    max_tf=tdf["max_tf"].to_numpy(np.int64),
-                    min_dl=tdf["min_dl"].to_numpy(np.int64),
-                    avgdl=t_avgdl,
-                    docs_bin=list(tdf["docs_bin"]),
-                    tfs_bin=list(tdf["tfs_bin"]),
-                    dls_bin=list(tdf["dls_bin"]),
-                    ns=tdf["n"].to_numpy(np.int64),
-                )
-            )
+        tbs = build_term_blocks(pdf, term_meta, avgdl)
         docs, scores = score_segment_topk(
             tbs, n_groups, k, avgdl, prune=prune, excluded=excluded, included=included
+        )
+        return pd.DataFrame({"doc_id": docs, "score": scores})
+
+    return scorer
+
+
+def make_cogroup_segment_scorer(
+    term_meta: dict,
+    n_groups: int,
+    k: int,
+    avgdl: float,
+    prune: bool,
+    excluded: np.ndarray | None = None,
+    included: np.ndarray | None = None,
+    dist_included: bool = False,
+    dist_excluded: bool = False,
+):
+    """Cogrouped variant of :func:`make_segment_scorer` for fq predicates /
+    tombstone sets too large to collect to the driver (Solr keeps fq bitsets
+    per shard; this keeps them per SEGMENT, co-partitioned with the postings).
+
+    The second cogroup side is an id frame ``(doc_id:int64, kind:int8)`` with
+    kind=1 for fq-included ids and kind=0 for excluded (tombstone) ids, routed
+    to the same segment as its doc (doc_id embeds the segment). Per segment:
+
+    * ``dist_included=True``: the segment's kind-1 ids become the scorer's
+      ``included`` set (intersected with a driver-side ``included`` if both
+      exist) — a segment with posting blocks but NO fq rows admits nothing,
+      exactly the semantics of an empty per-shard fq bitset.
+    * ``dist_excluded=True``: the segment's kind-0 ids are unioned into the
+      driver-side ``excluded`` array (small MUST_NOT term ids still ride
+      driver-side; the unbounded tombstone side stays distributed).
+
+    Pruning stays valid: filtering candidates only slows the threshold's
+    growth — every skipped range's upper bound still bounds its docs.
+    """
+
+    def scorer(key, blocks_pdf: pd.DataFrame, ids_pdf: pd.DataFrame) -> pd.DataFrame:
+        if blocks_pdf.empty:
+            return pd.DataFrame(
+                {"doc_id": np.empty(0, np.int64), "score": np.empty(0, np.float64)}
+            )
+        inc = included
+        exc = excluded
+        if dist_included:
+            seg_inc = np.sort(
+                ids_pdf.loc[ids_pdf["kind"] == 1, "doc_id"].to_numpy(np.int64)
+            )
+            inc = seg_inc if inc is None else seg_inc[in_sorted(seg_inc, inc)]
+            if inc.size == 0:
+                return pd.DataFrame(
+                    {"doc_id": np.empty(0, np.int64), "score": np.empty(0, np.float64)}
+                )
+        if dist_excluded:
+            seg_exc = ids_pdf.loc[ids_pdf["kind"] == 0, "doc_id"].to_numpy(np.int64)
+            if seg_exc.size:
+                exc = (
+                    np.sort(seg_exc)
+                    if exc is None or not exc.size
+                    else np.unique(np.concatenate([exc, seg_exc]))
+                )
+        tbs = build_term_blocks(blocks_pdf, term_meta, avgdl)
+        docs, scores = score_segment_topk(
+            tbs, n_groups, k, avgdl, prune=prune, excluded=exc, included=inc
         )
         return pd.DataFrame({"doc_id": docs, "score": scores})
 
