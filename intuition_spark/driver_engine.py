@@ -507,3 +507,59 @@ def fts_engine_spell(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = eng.expand_dictionary("ws", "tble", "fuzzy")
     dic = spark.read.parquet(eng.paths["ws"].dictionary)
     return dic.filter(F.col("term").isin(terms)).select("term", "df")
+
+
+_SPELL_Q = [(0, "tble"), (1, "vlue"), (2, "merge"), (3, "zzzzqq")]
+_SPELL_LOW_DF, _SPELL_DOM = 3, 2
+
+
+@register(
+    "fts_engine_spell_collate",
+    f"""
+WITH {_BM25_CTES},
+dic AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks WHERE term <> ''
+        GROUP BY term),
+q(pos, token) AS (VALUES {", ".join(f"({p}, '{t}')" for p, t in _SPELL_Q)}),
+orig AS (SELECT q.pos, q.token, coalesce(d.df, 0) AS df
+         FROM q LEFT JOIN dic d ON d.term = q.token),
+cand AS (
+  SELECT o.pos, d.term AS suggestion, d.df AS sdf
+  FROM orig o JOIN dic d
+       ON abs(length(d.term) - length(o.token)) <= 1
+      AND d.term <> o.token
+      AND levenshtein(d.term, o.token) <= 1
+  WHERE o.df < {_SPELL_LOW_DF}
+    AND d.df >= {_SPELL_DOM} * greatest(o.df, 1)),
+best AS (
+  SELECT pos, suggestion, sdf FROM cand
+  QUALIFY row_number() OVER (PARTITION BY pos ORDER BY sdf DESC, suggestion ASC) = 1),
+rowsx AS (
+  SELECT o.pos, o.token, CAST(o.df AS BIGINT) AS df, b.suggestion,
+         CAST(coalesce(b.sdf, 0) AS BIGINT) AS suggestion_df,
+         coalesce(b.suggestion, o.token) AS effective
+  FROM orig o LEFT JOIN best b USING (pos))
+SELECT r.pos, r.token, r.df, r.suggestion, r.suggestion_df, r.effective,
+       c.collated
+FROM rowsx r CROSS JOIN
+     (SELECT string_agg(effective, ' ' ORDER BY pos) AS collated FROM rowsx) c
+""",
+    gated=False,  # the 50-entry driver window is full; dual-engine-checked
+    # by pytest (tests/test_gate_extra.py)
+)
+def fts_engine_spell_collate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-word spell suggestion + whole-query collation
+    (`util/SpellChecking.java:80-92` suggests per word; the reference
+    composes corrected queries — Solr spellcheck.collate): the seeded-typo
+    query `tble vlue merge zzzzqq` against the engine's real dictionary.
+    'tble'→'table' and 'vlue'→'value' (absent, dominated by a lev-1 common
+    term), 'merge' is left alone (present, high df), 'zzzzqq' is left alone
+    (no candidate). The oracle reproduces the exact suggestion AND collation
+    choice — see query/spell.py for the rule."""
+    from intuition_spark.query.spell import collate_suggestions
+
+    eng = get_documents_engine(spark, sf_dir)
+    dic = spark.read.parquet(eng.paths["ws"].dictionary)
+    return collate_suggestions(
+        dic, [t for _, t in _SPELL_Q],
+        low_df=_SPELL_LOW_DF, dominance=_SPELL_DOM,
+    )

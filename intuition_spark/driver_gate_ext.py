@@ -1500,3 +1500,70 @@ def fts_engine_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("score", 4).alias("score"),
         F.element_at(snip(F.col("text")), 1).alias("snippet"),
     )
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """Unrolled BPE-training oracle (like the Lloyd's-in-DuckDB clustering
+    oracle): per iteration, count adjacent symbol pairs weighted by word
+    frequency, pick the best (count desc, 'a b' asc), and apply it as a
+    marker-encoded string replace — `|a||b|` → `|ab|`, which is exactly one
+    left-to-right non-overlapping merge pass with no substring false
+    positives (see functions/bpe.py). Emits the full merge trajectory:
+    (merge_rank, pair, corpus-wide tokens_after)."""
+    parts = [
+        f"WITH {_TOKS_CTE},",
+        "wc AS (SELECT lower(term) AS word, count(*) AS n FROM toks\n"
+        "       WHERE term <> '' AND term NOT LIKE '%|%' GROUP BY 1),",
+        "s1 AS (SELECT word, n,\n"
+        "       '|' || array_to_string(string_split(word, ''), '||') || '|' AS seq\n"
+        "       FROM wc),",
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(f"""
+p{i} AS (SELECT a, b, sum(n) AS c FROM (
+    SELECT t.n, t.sp[g.i] AS a, t.sp[g.i + 1] AS b
+    FROM (SELECT n, string_split(substr(seq, 2, len(seq) - 2), '||') AS sp
+          FROM s{i}) t,
+         unnest(generate_series(1, len(t.sp) - 1)) AS g(i)) GROUP BY a, b),
+b{i} AS (SELECT a, b FROM p{i} ORDER BY c DESC, a || ' ' || b ASC LIMIT 1),
+s{i + 1} AS (SELECT word, n,
+             replace(seq, '|' || a || '||' || b || '|', '|' || a || b || '|') AS seq
+             FROM s{i}, b{i}),""")
+    body = "\n".join(parts).rstrip().rstrip(",")
+    rows = "\nUNION ALL\n".join(
+        f"SELECT {i} AS merge_rank, (SELECT a || ' ' || b FROM b{i}) AS pair,"
+        f" (SELECT CAST(sum(n * len(string_split(substr(seq, 2, len(seq) - 2),"
+        f" '||'))) AS BIGINT) FROM s{i + 1}) AS tokens_after"
+        for i in range(1, n_merges + 1)
+    )
+    return f"{body}\n{rows}"
+
+
+_BPE_MERGES = 6
+
+
+@register(
+    "text_bpe_train",
+    _bpe_oracle_sql(_BPE_MERGES),
+    gated=False,  # the 50-entry driver window is full; dual-engine-checked
+    # by pytest (tests/test_gate_extra.py)
+)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-BPE token counting, the training half (r4 verdict #8): learn
+    a deterministic merge table on the documents corpus (Sennrich-style,
+    word-histogram-driven — functions/bpe.py) and emit every merge DECISION
+    plus the corpus token count after it; the oracle re-derives the same
+    trajectory in pure SQL, so a single tie broken differently anywhere
+    fails the entry. The counting half (vectorized UDF) is pinned by
+    tests/test_bpe.py against these totals."""
+    from intuition_spark.functions.bpe import train_bpe
+
+    docs = _read(spark, sf_dir, "documents")
+    res = train_bpe(docs, "text", n_merges=_BPE_MERGES)
+    rows = [
+        (i + 1, f"{a} {b}", int(res["tokens_after"][i]))
+        for i, (a, b) in enumerate(res["merges"])
+    ]
+    return spark.createDataFrame(
+        rows, "merge_rank int, pair string, tokens_after long"
+    )

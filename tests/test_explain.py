@@ -46,11 +46,20 @@ SCORING_QUERIES = [
 
 
 @pytest.mark.parametrize("q", SCORING_QUERIES, ids=[q.query_id for q in SCORING_QUERIES])
-@pytest.mark.parametrize("mode", ["auto", "exhaustive"])
+@pytest.mark.parametrize("mode", ["auto", "wand", "exhaustive"])
 def test_explain_doc_contributions_sum_to_hit_score(ex_setup, q, mode):
+    """sum≡score on ALL THREE executor families (r4 verdict #9): auto takes
+    the driver paths on this corpus; wand/exhaustive force the DISTRIBUTED
+    scorers — the breakdown must reproduce each one's arithmetic exactly."""
     eng, _ = ex_setup
     hits = eng.search(q, mode=mode).collect()
     assert hits, f"{q.query_id} returned no hits"
+    if mode == "wand" and not eng.last_path.startswith("empty"):
+        # the forced-wand leg really exercised a distributed executor
+        # (phrase/proximity shapes legitimately reroute to exhaustive)
+        assert "distributed" in eng.last_path, eng.last_path
+    if mode == "exhaustive":
+        assert "exhaustive_distributed" in eng.last_path, eng.last_path
     for r in hits[:3]:
         exp = eng.explain_doc(q, r["doc"])
         assert exp["found"] and exp["matched"], exp
@@ -61,6 +70,33 @@ def test_explain_doc_contributions_sum_to_hit_score(ex_setup, q, mode):
         assert exp["mm_pass"] and sorted(exp["groups_matched"]) == list(
             range(exp["n_groups"])
         )
+
+
+def test_explain_doc_sum_on_distfq_wand_hits(ex_setup):
+    """The cogrouped distributed-fq WAND executor (wand_distfq) is explained
+    with the same per-(field, atom) arithmetic: sum≡score on its hits, and
+    the fq gate verdict is reported per doc."""
+    eng, _ = ex_setup
+    old = eng.FQ_MAX_IDS
+    eng.FQ_MAX_IDS = 5  # role predicates match far more than 5 docs
+    try:
+        q = Query("xp_distfq", "and", [["query"], ["index"]], k=10,
+                  field_eq={"role": "user"})
+        hits = eng.search(q, mode="wand").collect()
+        assert eng.last_path == "wand_distfq"
+        assert hits
+        for r in hits[:3]:
+            exp = eng.explain_doc(q, r["doc"])
+            assert exp["matched"], exp
+            assert exp["score"] == pytest.approx(r["score"], abs=1e-9)
+            assert exp["score"] == pytest.approx(
+                sum(c["contribution"] for c in exp["contributions"]), abs=1e-12
+            )
+            fq_gates = [g for g in exp["gates"] if g["gate"].startswith("fq ")]
+            assert fq_gates and all(g["pass"] for g in fq_gates)
+    finally:
+        eng.FQ_MAX_IDS = old
+        eng._fq_cache.clear()
 
 
 def test_explain_doc_constant_score_and_tf_sort(ex_setup):
