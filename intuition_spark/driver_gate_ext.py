@@ -1086,12 +1086,35 @@ def _kmer_vote_counts(spark: SparkSession, post: DataFrame, pairs: list[tuple[st
         .join(F.broadcast(mapdf), "kmer")
         .select("doc_id", (F.col("pos") - F.col("j")).alias("base"))
     )
-    bases = (
+    bases = _kmer_bases(votes, n_j)
+    return bases.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_matches"))
+
+
+def _kmer_bases(votes: DataFrame, n_j: int) -> DataFrame:
+    """(doc_id, base) rows where ALL n_j query k-mers voted — the match
+    positions themselves (shared by the count and the first-hit shapes)."""
+    return (
         votes.groupBy("doc_id", "base")
         .agg(F.count("*").alias("nk"))
         .filter(F.col("nk") == n_j)
+        .select("doc_id", "base")
     )
-    return bases.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_matches"))
+
+
+def _kmer_first_base(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    """(doc_id, first_base) of the FIRST occurrence of `query` per doc via
+    the same one-scan vote plan as _kmer_match_counts, aggregated to min."""
+    post = _kmer_index(spark, sf_dir)
+    qk = [(query[i : i + _K], i) for i in range(len(query) - _K + 1)]
+    mapdf = spark.createDataFrame(sorted(set(qk)), "kmer string, j int")
+    votes = (
+        post.filter(F.col("kmer").isin(sorted({k for k, _ in qk})))
+        .join(F.broadcast(mapdf), "kmer")
+        .select("doc_id", (F.col("pos") - F.col("j")).alias("base"))
+    )
+    return _kmer_bases(votes, len(qk)).groupBy("doc_id").agg(
+        F.min("base").alias("first_base")
+    )
 
 
 def _kmer_match_counts(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
@@ -1567,3 +1590,55 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "merge_rank int, pair string, tokens_after long"
     )
+
+
+_COORD_LEN = len(_KMER_QUERY)
+
+
+@register(
+    "fts_q18_coords",
+    f"""
+WITH d AS (SELECT doc_id, replace(text, ' ', '') AS s FROM documents),
+off AS (SELECT doc_id,
+               coalesce(sum(length(s)) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS base_off
+        FROM d),
+f AS (SELECT doc_id, strpos(s, '{_KMER_QUERY}') - 1 AS first_base
+      FROM d WHERE strpos(s, '{_KMER_QUERY}') > 0),
+r AS (SELECT doc_id, strpos(s, '{_RC_QUERY}') - 1 AS first_base
+      FROM d WHERE strpos(s, '{_RC_QUERY}') > 0)
+SELECT f.doc_id, 'fwd' AS strand, CAST(f.first_base AS BIGINT) AS first_base,
+       CAST(o.base_off + f.first_base AS BIGINT) AS coord_start,
+       CAST(o.base_off + f.first_base + {_COORD_LEN} AS BIGINT) AS coord_end
+FROM f JOIN off o USING (doc_id)
+UNION ALL
+SELECT r.doc_id, 'rc' AS strand, CAST(r.first_base AS BIGINT) AS first_base,
+       CAST(o.base_off + r.first_base + {_COORD_LEN} AS BIGINT) AS coord_start,
+       CAST(o.base_off + r.first_base AS BIGINT) AS coord_end
+FROM r JOIN off o USING (doc_id)
+""",
+    gated=False,  # the 50-entry driver window is full; dual-engine-checked
+    # by pytest (tests/test_gate_extra.py)
+)
+def fts_q18_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hit-position → absolute-coordinate recovery, both strands
+    (`GeneMINDImpl.findSequence:189-241`): the engine recovers each doc's
+    FIRST match base from the k-mer positional index (one vote scan, min),
+    then applies the reference's coordinate rules — forward start/end run
+    with the text, reverse-strand coordinates run AGAINST it (start =
+    offset + indexOf(rc) + len, end = offset + indexOf(rc)). The coordinate
+    system is the running despaced-length offset per doc (the t2t chunks'
+    stored `position` analogue), derived identically by the SQL oracle via
+    strpos. Frame-shift query generation itself is pinned byte-identical to
+    GeneMINDImpl.wildcard in tests/test_sequence.py — our overlapping k-mer
+    index makes the 0-4 `?` frame alignment structurally unnecessary."""
+    from intuition_spark.functions.sequence import doc_offsets, first_match_coords
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace("text", " ", "").alias("s")
+    )
+    offs = doc_offsets(docs)
+    fwd = _kmer_first_base(spark, sf_dir, _KMER_QUERY)
+    rc = _kmer_first_base(spark, sf_dir, _RC_QUERY)
+    return first_match_coords(fwd, rc, offs, _COORD_LEN)

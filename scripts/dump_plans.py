@@ -61,6 +61,22 @@ def main() -> None:
     blocks = eng._blocks("standard", ["braf", "v600e"])
     sections.append(f"## Postings scan (term pushdown)\n\n```\n{plan_of(blocks)}\n```\n")
 
+    # r5: WAND under an OVERSIZE fq predicate (FQ_MAX_IDS exceeded) — check
+    # FlatMapCoGroupsInPandas over TWO pushdown scans (blocks filtered by
+    # term-IN; docs filtered by the predicate, both pruned to their own
+    # columns), each with one Exchange(seg): the filter reaches the scorer
+    # co-partitioned with the postings instead of abandoning pruning
+    eng_fq = SearchEngine(spark, {"standard": ix_dir, "ws": ix_ws})
+    eng_fq.FQ_MAX_IDS = 1  # force the distributed-fq route
+    q_fq = Query("p7", "and", [["braf"], ["v600e"]], k=10,
+                 field_eq={"role": "user"})
+    out = eng_fq.search(q_fq, mode="wand")
+    assert eng_fq.last_path == "wand_distfq", eng_fq.last_path
+    sections.append(
+        "## WAND under oversize fq (distributed filterCache, cogrouped)"
+        f"\n\n```\n{plan_of(out)}\n```\n"
+    )
+
     # r4: snapshot time travel — the as-of seg predicate must land in
     # PartitionFilters (seg is the partition column), NOT in PushedFilters/
     # post-scan Filter: an as-of scan prunes whole segment directories and
@@ -85,6 +101,21 @@ def main() -> None:
     sections.append(
         "## Time-travel postings scan (as_of=1: seg partition-pruned + term pushdown)"
         f"\n\n```\n{plan_of(blocks_tt)}\n```\n"
+    )
+
+    # r5: oversize TOMBSTONE set (TOMB_MAX_IDS exceeded) — the delta-built
+    # ix_tt index carries real tombstones; check the exclusion rides the
+    # same cogroup (FlatMapCoGroupsInPandas with the tombstone parquet scan
+    # as the second side) and NO LocalTableScan of collected ids appears:
+    # nothing materializes on the driver
+    eng_dt = SearchEngine(spark, ix_tt)
+    eng_dt.TOMB_MAX_IDS = 1
+    out = eng_dt.search(Query("p8", "and", [["braf"], ["v600e"]], k=10),
+                        mode="wand")
+    assert eng_dt.last_path == "wand_disttomb", eng_dt.last_path
+    sections.append(
+        "## WAND under oversize tombstones (distributed exclusion, cogrouped)"
+        f"\n\n```\n{plan_of(out)}\n```\n"
     )
 
     # r2: plans of the three gate entries whose r1 shapes were scale-killers —

@@ -7,6 +7,8 @@ pairs (VERDICT.md "Next round #1"). The pair-admission loop needs a real
 import pathlib
 import sys
 
+import pytest
+
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 from bench import _median, _pair_is_clean, _pair_is_stable, _summarize_pairs
@@ -158,3 +160,29 @@ def test_save_attempt_picks_next_free_slot(tmp_path):
     assert p1.endswith(f"scaling_{bench.ROUND}_attempt1.json")
     assert p2.endswith(f"scaling_{bench.ROUND}_attempt2.json")
     assert json.load(open(p2))["scaling"]["efficiency_pairs"] == [0.9]
+
+
+# ---- best-probe bench-run selection (r4 verdict #5/#6) ---------------------
+from bench import _best_bench_run, _probe_score  # noqa: E402
+
+
+def _run(pre, post, value):
+    return {
+        "value": value,
+        "host_probe": {"pre": {"1": pre}, "post": {"1": post}},
+    }
+
+
+def test_probe_score_is_mean_of_bracketing_probes():
+    assert _probe_score(_run(0.2, 0.4, 100)) == pytest.approx(0.3)
+    assert _probe_score({"host_probe": {}}) == float("inf")
+
+
+def test_best_run_is_quietest_not_latest():
+    runs = [_run(0.25, 0.26, 150.0), _run(0.45, 0.50, 210.0), _run(0.39, 0.40, 205.0)]
+    assert _best_bench_run(runs) == 0
+
+
+def test_best_run_tie_prefers_latest():
+    runs = [_run(0.30, 0.30, 150.0), _run(0.30, 0.30, 149.0)]
+    assert _best_bench_run(runs) == 1
