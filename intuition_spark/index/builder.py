@@ -319,6 +319,19 @@ def prepare_docs(
         "seg",
         (F.pmod(F.xxhash64("conv_id"), F.lit(n_segments)) + F.lit(seg_offset)).cast("int"),
     )
+    # One shuffle partition per segment, shared by the window AND the write:
+    # HashPartitioning(seg, n_segments) satisfies the window's required
+    # ClusteredDistribution(seg), so EnsureRequirements inserts no second
+    # exchange. Without this, the window hashes n_segments segments into
+    # spark.sql.shuffle.partitions buckets — coarse tasks with Poisson skew
+    # (~1.5-2x at 128 segs / 16 buckets) whose stragglers serialize the
+    # stage — and the dynamic partitionBy('seg') write then emits
+    # tasks x segments files whose driver-side commit is O(files). With the
+    # segment-aligned repartition, tasks are segment-sized and the write
+    # commits O(n_segments) files (one per segment directory) — the same
+    # fan-out the postings stage expects (its scan runs one task per
+    # segment file, builder.py maxPartitionBytes=8m below).
+    df = df.repartition(n_segments, "seg")
     w = Window.partitionBy("seg").orderBy("conv_id", "turn_idx")
     df = df.withColumn(
         "doc_id",
@@ -328,9 +341,19 @@ def prepare_docs(
     from pyspark.sql import Observation
 
     obs = Observation("prepare_docs")
-    df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("overwrite").partitionBy(
-        "seg"
-    ).parquet(paths.docs)
+    # 4MB row groups keep the one-file-per-segment docs layout SPLITTABLE:
+    # the postings scan caps splits at 8MB (maxPartitionBytes below), and a
+    # parquet split can't cut inside a row group — with the default 128MB
+    # row group a whole segment would land in one indexer task, whose
+    # object-array factorize/lexsort degrades superlinearly with chunk size
+    # (measured 2x slower per turn at 25k-doc chunks vs 3k-doc chunks).
+    (
+        df.observe(obs, F.count(F.lit(1)).alias("n"))
+        .write.mode("overwrite")
+        .option("parquet.block.size", str(4 * 1024 * 1024))
+        .partitionBy("seg")
+        .parquet(paths.docs)
+    )
     n_docs = int(obs.get["n"])
     stats = {
         "N": int(n_docs),

@@ -186,3 +186,55 @@ def test_best_run_is_quietest_not_latest():
 def test_best_run_tie_prefers_latest():
     runs = [_run(0.30, 0.30, 150.0), _run(0.30, 0.30, 149.0)]
     assert _best_bench_run(runs) == 1
+
+
+def test_pool_attempts_is_protocol_aware(tmp_path):
+    """Confined (taskset) and unconfined attempts measure physically
+    different quantities — an unconfined local[2] JVM uses ~8 cores on this
+    box — so a protocol-tagged pool must exclude off-protocol attempts
+    (they stay on disk as receipts)."""
+    import json
+
+    import bench
+    from bench import _pool_attempts
+
+    bdir = tmp_path / ".benchmarks"
+    bdir.mkdir()
+    runs = [
+        # legacy attempt: no protocol field == "median-of-paired-ratios"
+        {"efficiency_pairs": [0.5, 0.6]},
+        {"protocol": "median-of-paired-ratios+cpuset",
+         "efficiency_pairs": [0.9, 1.0]},
+        {"protocol": "median-of-paired-ratios+cpuset",
+         "efficiency_pairs": [0.95]},
+    ]
+    for i, s in enumerate(runs, 1):
+        (bdir / f"scaling_{bench.ROUND}_attempt{i}.json").write_text(
+            json.dumps({"scaling": s})
+        )
+    out = _pool_attempts(str(tmp_path), "median-of-paired-ratios+cpuset")
+    assert out["pooled_pairs"] == [0.9, 1.0, 0.95]
+    assert out["pooled_efficiency_median"] == 0.95
+    assert out["pooled_n_attempts"] == 2
+    assert out["pooled_protocol"] == "median-of-paired-ratios+cpuset"
+
+    # untagged pooling (protocol=None) keeps the legacy pool-everything shape
+    out_all = _pool_attempts(str(tmp_path))
+    assert out_all["pooled_pairs"] == [0.5, 0.6, 0.9, 1.0, 0.95]
+    assert "pooled_protocol" not in out_all
+
+    # the legacy protocol pools only the untagged attempt
+    out_legacy = _pool_attempts(str(tmp_path), "median-of-paired-ratios")
+    assert out_legacy["pooled_pairs"] == [0.5, 0.6]
+    assert out_legacy["pooled_n_attempts"] == 1
+
+
+def test_summarize_pairs_carries_protocol_tag():
+    pairs = [_pair(0, 0.9), _pair(1, 0.85), _pair(2, 0.88)]
+    out = _summarize_pairs(
+        pairs, [], (2, 8), THRESH, protocol="median-of-paired-ratios+cpuset"
+    )
+    assert out["protocol"] == "median-of-paired-ratios+cpuset"
+    # default stays the legacy string so old receipts remain interpretable
+    out = _summarize_pairs(pairs, [], (2, 8), THRESH)
+    assert out["protocol"] == "median-of-paired-ratios"
