@@ -47,6 +47,15 @@ def _host_probe(widths: tuple[int, ...]) -> dict[str, float]:
     return probe(widths)
 
 
+def _disk_probe() -> float:
+    """Write+fsync+read I/O receipt (seconds for 64 MB) — the CPU probe is
+    blind to disk contention; recorded per scaling pair, never gates
+    admission (the estimator stays as pre-registered)."""
+    from scripts.host_probe import disk_probe
+
+    return disk_probe()
+
+
 def _quantile(xs: list[float], q: float) -> float:
     xs = sorted(xs)
     i = min(len(xs) - 1, int(round(q * (len(xs) - 1))))
@@ -365,7 +374,7 @@ def run_scaling_submit(workdir: str) -> dict:
         while probe > quiet_thresh and time.time() < deadline:
             time.sleep(60)
             probe = _host_probe((1,))["1"]
-        rec: dict = {"pair": attempt, "probe_lo": probe}
+        rec: dict = {"pair": attempt, "probe_lo": probe, "disk_probe_lo_s": _disk_probe()}
         for tag, cores in (("lo", n_lo), ("hi", n_hi)):
             if tag != "lo":
                 rec[f"probe_{tag}"] = _host_probe((1,))["1"]
@@ -379,6 +388,7 @@ def run_scaling_submit(workdir: str) -> dict:
             rec[f"cpu_{tag}"] = leg.get("cpu_s")
             rec[f"cpu_per_core_{tag}"] = leg.get("cpu_per_core")
         rec["probe_end"] = _host_probe((1,))["1"]
+        rec["disk_probe_end_s"] = _disk_probe()
         rec["efficiency"] = round(rec["thr_hi"] / rec["thr_lo"] / ratio, 3)
         rec["postings_efficiency"] = round(
             rec["stages_lo"]["postings_stage_s"]
