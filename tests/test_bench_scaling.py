@@ -238,3 +238,65 @@ def test_summarize_pairs_carries_protocol_tag():
     # default stays the legacy string so old receipts remain interpretable
     out = _summarize_pairs(pairs, [], (2, 8), THRESH)
     assert out["protocol"] == "median-of-paired-ratios"
+
+
+def test_pool_attempts_is_fingerprint_aware(tmp_path):
+    """Attempts pool only within identical measured build code: a shakedown
+    run recorded before a perf-relevant indexer edit measured DIFFERENT code
+    and must stay out of the edited code's graded median (it remains on disk
+    as a receipt)."""
+    import json
+
+    import bench
+    from bench import _pool_attempts
+
+    bdir = tmp_path / ".benchmarks"
+    bdir.mkdir()
+    proto = "median-of-paired-ratios+standalone"
+    runs = [
+        # pre-edit shakedown: same protocol, older code
+        {"protocol": proto, "scaling_fingerprint": "aaaa00000000",
+         "efficiency_pairs": [0.54, 0.49]},
+        {"protocol": proto, "scaling_fingerprint": "bbbb11111111",
+         "efficiency_pairs": [0.85, 0.9]},
+        # legacy attempt: no fingerprint field at all
+        {"protocol": proto, "efficiency_pairs": [0.3]},
+    ]
+    for i, s in enumerate(runs, 1):
+        (bdir / f"scaling_{bench.ROUND}_attempt{i}.json").write_text(
+            json.dumps({"scaling": s})
+        )
+    out = _pool_attempts(str(tmp_path), proto, "bbbb11111111")
+    assert out["pooled_pairs"] == [0.85, 0.9]
+    assert out["pooled_n_attempts"] == 1
+    assert out["pooled_fingerprint"] == "bbbb11111111"
+
+    # without a fingerprint the pool keeps the protocol-wide shape
+    out_all = _pool_attempts(str(tmp_path), proto)
+    assert out_all["pooled_pairs"] == [0.54, 0.49, 0.85, 0.9, 0.3]
+    assert "pooled_fingerprint" not in out_all
+
+
+def test_scaling_fingerprint_tracks_build_path_edits(tmp_path):
+    """The fingerprint is a pure content hash of the build-path files."""
+    import shutil
+
+    import bench
+
+    repo = tmp_path / "repo"
+    for rel in (
+        "intuition_spark/index/builder.py",
+        "intuition_spark/index/codec.py",
+        "intuition_spark/analysis/analyzers.py",
+        "intuition_spark/analysis/porter.py",
+        "intuition_spark/session.py",
+        "scripts/build_index_job.py",
+    ):
+        src = pathlib.Path(bench.__file__).parent / rel
+        dst = repo / rel
+        dst.parent.mkdir(parents=True, exist_ok=True)
+        shutil.copyfile(src, dst)
+    fp1 = bench._scaling_fingerprint(str(repo))
+    assert fp1 == bench._scaling_fingerprint(str(bench.__file__).rsplit("/", 1)[0])
+    (repo / "intuition_spark/index/builder.py").write_text("# edited\n")
+    assert bench._scaling_fingerprint(str(repo)) != fp1
