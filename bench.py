@@ -332,23 +332,28 @@ def _wait_log(path: str, pattern: str, timeout_s: float = 90.0) -> str:
 
 
 class _StandaloneCluster:
-    """One-host Spark standalone cluster emulating an N-core cluster node:
-    the worker JVM (and every executor + python worker it forks) is pinned
-    to a physical cpuset of exactly N cores; the master and the submitting
-    driver live OUTSIDE that set (a real cluster's driver does not steal
-    executor cores). Worker scratch + executor local dirs sit on tmpfs."""
+    """One-host Spark standalone cluster emulating a cluster of
+    `total_cores // cores_per_worker` executor nodes: one worker JVM per
+    emulated node, each worker (and every executor + python worker it
+    forks) pinned to its OWN disjoint physical cpuset of exactly
+    `cores_per_worker` cores — the N→4N comparison is literally 1 worker vs
+    4 workers of identical size, the north rule's two cluster sizes. The
+    master and the submitting driver live OUTSIDE the measured set (a real
+    cluster's driver does not steal executor cores). Worker scratch +
+    executor local dirs sit on tmpfs."""
 
-    def __init__(self, cores: int, log_dir: str, tmp_root: str):
+    def __init__(
+        self, total_cores: int, cores_per_worker: int, log_dir: str,
+        tmp_root: str,
+    ):
         import subprocess
 
         self.procs = []
         os.makedirs(log_dir, exist_ok=True)
         os.makedirs(tmp_root, exist_ok=True)
-        self.master_log = os.path.join(log_dir, f"master_{cores}.log")
-        self.worker_log = os.path.join(log_dir, f"worker_{cores}.log")
+        self.master_log = os.path.join(log_dir, f"master_{total_cores}.log")
         env = dict(os.environ)
         env.setdefault("SPARK_NO_DAEMONIZE", "1")
-        env["SPARK_LOCAL_DIRS"] = os.path.join(tmp_root, "local")
         with open(self.master_log, "w") as mlog:
             self.procs.append(
                 subprocess.Popen(
@@ -361,25 +366,35 @@ class _StandaloneCluster:
                     stdout=mlog, stderr=subprocess.STDOUT, env=env,
                 )
             )
-        m = _wait_log(self.master_log, r"spark://127\.0\.0\.1:\d+")
-        self.master_url = m
-        with open(self.worker_log, "w") as wlog:
-            self.procs.append(
-                subprocess.Popen(
-                    [
-                        "taskset", "-c", f"0-{cores - 1}",
-                        _spark_bin("spark-class"),
-                        "org.apache.spark.deploy.worker.Worker",
-                        "--cores", str(cores),
-                        "--memory", os.environ.get("SPARK_GRAFT_WORKER_MEM", "24g"),
-                        "--work-dir", os.path.join(tmp_root, "work"),
-                        "--webui-port", "0",
-                        self.master_url,
-                    ],
-                    stdout=wlog, stderr=subprocess.STDOUT, env=env,
+        self.master_url = _wait_log(self.master_log, r"spark://127\.0\.0\.1:\d+")
+        n_workers = max(1, total_cores // cores_per_worker)
+        worker_logs = []
+        for w in range(n_workers):
+            first = w * cores_per_worker
+            last = first + cores_per_worker - 1
+            wlog_path = os.path.join(log_dir, f"worker_{total_cores}_{w}.log")
+            worker_logs.append(wlog_path)
+            env_w = dict(env)
+            env_w["SPARK_LOCAL_DIRS"] = os.path.join(tmp_root, f"local_w{w}")
+            with open(wlog_path, "w") as wlog:
+                self.procs.append(
+                    subprocess.Popen(
+                        [
+                            "taskset", "-c", f"{first}-{last}",
+                            _spark_bin("spark-class"),
+                            "org.apache.spark.deploy.worker.Worker",
+                            "--cores", str(cores_per_worker),
+                            "--memory",
+                            os.environ.get("SPARK_GRAFT_WORKER_MEM", "12g"),
+                            "--work-dir", os.path.join(tmp_root, f"work_w{w}"),
+                            "--webui-port", "0",
+                            self.master_url,
+                        ],
+                        stdout=wlog, stderr=subprocess.STDOUT, env=env_w,
+                    )
                 )
-            )
-        _wait_log(self.worker_log, r"Successfully registered with master")
+        for wlog_path in worker_logs:
+            _wait_log(wlog_path, r"Successfully registered with master")
 
     def stop(self) -> None:
         for p in reversed(self.procs):
@@ -482,17 +497,18 @@ def run_scaling_submit(workdir: str) -> dict:
         pinned = list(range(cores))
         if mode == "standalone":
             cluster = _StandaloneCluster(
-                cores, log_dir=os.path.join(workdir, "standalone_logs"),
+                cores, cores_per_worker=n_lo,
+                log_dir=os.path.join(workdir, "standalone_logs"),
                 tmp_root=tmpfs_root,
             )
             env["SPARK_GRAFT_MASTER"] = cluster.master_url
             cmd = [
                 "taskset", "-c", driver_pin,
                 "spark-submit", "--master", cluster.master_url,
-                "--executor-cores", str(cores),
+                "--executor-cores", str(n_lo),
                 "--total-executor-cores", str(cores),
                 "--executor-memory",
-                os.environ.get("SPARK_GRAFT_EXECUTOR_MEM", "16g"),
+                os.environ.get("SPARK_GRAFT_EXECUTOR_MEM", "8g"),
                 *submit_common, *job_args,
             ]
         else:
@@ -529,9 +545,13 @@ def run_scaling_submit(workdir: str) -> dict:
                 (busy1 - busy0) / max(1.0, tot1 - tot0), 3
             )
             leg["cpu_s"] = None
+            import glob as _glob
+
             shutil.rmtree(out_dir, ignore_errors=True)
-            shutil.rmtree(os.path.join(tmpfs_root, "work"), ignore_errors=True)
-            shutil.rmtree(os.path.join(tmpfs_root, "local"), ignore_errors=True)
+            for d in _glob.glob(os.path.join(tmpfs_root, "work_w*")) + _glob.glob(
+                os.path.join(tmpfs_root, "local_w*")
+            ):
+                shutil.rmtree(d, ignore_errors=True)
         else:
             cpu_s = (ru1.ru_utime - ru0.ru_utime) + (ru1.ru_stime - ru0.ru_stime)
             leg["cpu_s"] = round(cpu_s, 1)
@@ -921,14 +941,25 @@ def _sync_baseline(repo: str, detail: dict | None = None, scaling: dict | None =
             f"invalidates a pair)"
         )
         if any(p.get("cpu_per_core_lo") is not None for p in pairs):
+            recipe = (
+                "/proc/stat busy fraction of the pinned worker cpuset over "
+                "the leg (driver + master live OUTSIDE the set)"
+                if scaling.get("mode") == "standalone"
+                else "whole child tree user+sys ÷ wall ÷ pinned cores"
+            )
             body += (
-                f"\n- CPU confinement receipts (whole child tree user+sys ÷ "
-                f"wall ÷ pinned cores; ≤~1.0 proves the taskset pin held): "
+                f"\n- CPU confinement receipts ({recipe}; ≤~1.0 proves the "
+                f"pin held): "
                 f"lo {[p.get('cpu_per_core_lo') for p in pairs]}, "
                 f"hi {[p.get('cpu_per_core_hi') for p in pairs]} — an "
                 f"UNCONFINED local[2] leg on this box reads ~4 (8 cores' CPU "
                 f"on a 2-core-nominal job), which is the measurement artifact "
-                f"the cpuset protocol removes"
+                f"the confined protocols remove"
+            )
+        if scaling.get("scaling_fingerprint"):
+            body += (
+                f"\n- Build-code fingerprint {scaling['scaling_fingerprint']}"
+                f" (attempts pool only within one fingerprint + protocol)"
             )
         if scaling.get("rejected_pairs"):
             rej = scaling["rejected_pairs"]
