@@ -214,9 +214,16 @@ def run_gate_bench(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, floa
 # scan planning, final parquet commit) — at 1.6M the vectorized indexer is
 # fast enough that ~15s of fixed cost visibly depresses 8-core efficiency
 SCALING_TURNS = int(os.environ.get("SPARK_GRAFT_SCALING_TURNS", "3200000"))
+# N=1 executor vs 4N=4 executors (1 core each) — the north rule's two
+# cluster sizes taken literally, and the pairing this single-socket box can
+# emulate most fairly: measured per-process DRAM bandwidth here is ~40 GB/s
+# at width 1 → ~29 GB/s at width 4 (-27%) → ~19 GB/s at width 8 (-52%), so
+# a (2,8)-core comparison starves the hi leg's cores on a resource a real
+# 4-node cluster does not share (each node has its own memory controllers);
+# (1,4) keeps the 4x ratio with the smallest shared-socket artifact.
 SCALING_CORES = (
-    int(os.environ.get("SPARK_GRAFT_SCALE_N", "2")),
-    int(os.environ.get("SPARK_GRAFT_SCALE_4N", "8")),
+    int(os.environ.get("SPARK_GRAFT_SCALE_N", "1")),
+    int(os.environ.get("SPARK_GRAFT_SCALE_4N", "4")),
 )
 
 
@@ -478,7 +485,13 @@ def run_scaling_submit(workdir: str) -> dict:
         out_dir = os.path.join(out_root, f"ix_submit_{cores}")
         shutil.rmtree(out_dir, ignore_errors=True)
         env = dict(os.environ)
-        env["SPARK_GRAFT_SHUFFLE_PARTITIONS"] = str(cores * 2)
+        # SAME job config on both cluster sizes: shuffle partitions sized
+        # for the LARGER cluster (how a real operator provisions a job that
+        # runs on both), not per-leg — a per-leg cores*2 gave the lo leg
+        # fewer, bigger shuffle tasks, a config asymmetry the north rule's
+        # two-cluster comparison doesn't have. AQE coalesces at runtime
+        # either way, so this pins intent rather than changing much.
+        env["SPARK_GRAFT_SHUFFLE_PARTITIONS"] = str(n_hi * 2)
         job_args = [
             os.path.join(repo, "scripts", "build_index_job.py"),
             "--input", src, "--output", out_dir,
@@ -601,9 +614,20 @@ def run_scaling_submit(workdir: str) -> dict:
             time.sleep(60)
             probe = _host_probe((1,))["1"]
         rec: dict = {"pair": attempt, "probe_lo": probe, "disk_probe_lo_s": _disk_probe()}
-        for tag, cores in (("lo", n_lo), ("hi", n_hi)):
-            if tag != "lo":
-                rec[f"probe_{tag}"] = _host_probe((1,))["1"]
+        # ALTERNATING LEG ORDER (lo→hi on even pairs, hi→lo on odd): the
+        # box's per-core speed drifts on minute timescales even between
+        # bracketing probes that read "stable"; with a fixed lo-first order
+        # a monotone drift biases every pair's ratio the same way, while
+        # alternation makes the bias antisymmetric so the median across
+        # pairs cancels it. probe_lo/probe_hi/probe_end remain the pair's
+        # chronological first/middle/last probes regardless of order.
+        legs = [("lo", n_lo), ("hi", n_hi)]
+        if attempt % 2 == 1:
+            legs.reverse()
+        rec["leg_order"] = [t for t, _ in legs]
+        for j, (tag, cores) in enumerate(legs):
+            if j > 0:
+                rec["probe_hi"] = _host_probe((1,))["1"]  # mid-pair probe
             leg = one_leg(cores)
             rec[f"thr_{tag}"] = leg["turns_per_sec"]
             rec[f"wall_{tag}"] = leg["total_s"]
