@@ -834,7 +834,8 @@ def _save_attempt(repo: str, res: dict) -> str:
 
 
 def _pool_attempts(
-    repo: str, protocol: str | None = None, fingerprint: str | None = None
+    repo: str, protocol: str | None = None, fingerprint: str | None = None,
+    cores: list[int] | None = None,
 ) -> dict | None:
     """Pool ADMITTED pairs across every saved attempt OF THIS ROUND and take
     the median — the graded number. One attempt's 2-3 pairs leave the median
@@ -849,7 +850,10 @@ def _pool_attempts(
     stay on disk as receipts. When `fingerprint` is given, only attempts that
     measured the SAME build-path code pool (see _scaling_fingerprint) — a
     shakedown run from before a perf-relevant edit can't pollute the graded
-    median of the edited code."""
+    median of the edited code. When `cores` is given, only attempts at the
+    SAME (N, 4N) pairing pool — a (2,8)-core pair shares different per-core
+    DRAM bandwidth than a (1,4) pair on this single-socket box, so their
+    ratios measure different physical quantities."""
     import glob as _glob
 
     effs: list[float] = []
@@ -861,6 +865,8 @@ def _pool_attempts(
         if protocol is not None and s.get("protocol", "median-of-paired-ratios") != protocol:
             continue
         if fingerprint is not None and s.get("scaling_fingerprint") != fingerprint:
+            continue
+        if cores is not None and s.get("cores") != list(cores):
             continue
         pooled_files.append(fp)
         effs.extend(s.get("efficiency_pairs", []))
@@ -1010,7 +1016,8 @@ def main() -> None:
             repo = os.path.dirname(os.path.abspath(__file__))
             res["attempt_file"] = _save_attempt(repo, res)
             pooled = _pool_attempts(
-                repo, res.get("protocol"), res.get("scaling_fingerprint")
+                repo, res.get("protocol"), res.get("scaling_fingerprint"),
+                res.get("cores"),
             )
             if pooled:
                 res.update(pooled)

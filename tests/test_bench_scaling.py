@@ -277,6 +277,39 @@ def test_pool_attempts_is_fingerprint_aware(tmp_path):
     assert "pooled_fingerprint" not in out_all
 
 
+def test_pool_attempts_is_cores_aware(tmp_path):
+    """Attempts pool only within one (N, 4N) core pairing: a (2,8) pair
+    shares different per-core DRAM bandwidth than a (1,4) pair on a
+    single-socket box, so their paired ratios measure different physical
+    quantities and must not mix into one median."""
+    import json
+
+    import bench
+    from bench import _pool_attempts
+
+    bdir = tmp_path / ".benchmarks"
+    bdir.mkdir()
+    proto = "median-of-paired-ratios+standalone"
+    fp = "cccc22222222"
+    runs = [
+        {"protocol": proto, "scaling_fingerprint": fp, "cores": [2, 8],
+         "efficiency_pairs": [0.64, 0.69]},
+        {"protocol": proto, "scaling_fingerprint": fp, "cores": [1, 4],
+         "efficiency_pairs": [0.82, 0.86]},
+    ]
+    for i, s in enumerate(runs, 1):
+        (bdir / f"scaling_{bench.ROUND}_attempt{i}.json").write_text(
+            json.dumps({"scaling": s})
+        )
+    out = _pool_attempts(str(tmp_path), proto, fp, [1, 4])
+    assert out["pooled_pairs"] == [0.82, 0.86]
+    assert out["pooled_n_attempts"] == 1
+
+    # without a cores filter the pool keeps the fingerprint-wide shape
+    out_all = _pool_attempts(str(tmp_path), proto, fp)
+    assert out_all["pooled_pairs"] == [0.64, 0.69, 0.82, 0.86]
+
+
 def test_scaling_fingerprint_tracks_build_path_edits(tmp_path):
     """The fingerprint is a pure content hash of the build-path files."""
     import shutil
