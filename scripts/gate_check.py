@@ -2,7 +2,11 @@
 its oracle_sql() on DuckDB at the given sf dir; compare row count, column
 names, and order-insensitive value multiset.
 
-Usage: python scripts/gate_check.py [sf_dir] [query_name ...]
+Usage: python scripts/gate_check.py [--extra] [sf_dir] [query_name ...]
+
+--extra additionally runs the EXTRA registry (the oracle-checked entries past
+the driver's 50-entry window, normally pytest-gated at sf0.001) against the
+same DuckDB views — useful for checking them at a larger sf.
 """
 
 from __future__ import annotations
@@ -26,8 +30,10 @@ def normalize(df: pd.DataFrame) -> list[tuple]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--extra"]
+    with_extra = "--extra" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entrymod
     from intuition_spark.session import get_spark
@@ -42,6 +48,11 @@ def main() -> int:
 
     qs = entrymod.queries()
     oq = entrymod.oracle_sql()
+    if with_extra:
+        from intuition_spark.driver_gate import EXTRA_ORACLE_SQL, EXTRA_QUERIES
+
+        qs = {**qs, **EXTRA_QUERIES}
+        oq = {**oq, **EXTRA_ORACLE_SQL}
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
