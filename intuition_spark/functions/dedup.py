@@ -85,14 +85,47 @@ def _token_hashes(text: str, shingle: int) -> np.ndarray:
     return _fnv1a_batch(_shingle_strings(text, shingle))
 
 
-def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Exact dedup: (text_hash, n_docs, keeper, members)."""
+def exact_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_members: int | None = 100_000,
+) -> DataFrame:
+    """Exact dedup: (text_hash, n_docs, keeper, members).
+
+    ``members`` lists the first ``max_members`` ids of each dup group in
+    ascending order (``n_docs`` stays the FULL group count) — the one
+    unbounded cell in this operator (r4 verdict): a degenerate corpus with a
+    billion byte-identical copies would otherwise collect a billion-element
+    array into a single row. The cap rides the same single shuffle: a
+    row_number window on the hash sorts each group once, the groupBy reuses
+    that partitioning, and ``collect_list`` skips the null ids past the cap.
+    ``max_members=None`` restores the uncapped map-side-combining plan."""
+    if max_members is None:
+        return (
+            df.groupBy(F.md5(text_col).alias("text_hash"))
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.min(id_col).alias("keeper"),
+                F.sort_array(F.collect_list(id_col)).alias("members"),
+            )
+            .filter(F.col("n_docs") > 1)
+        )
+    from pyspark.sql import Window
+
+    ranked = df.select(
+        F.md5(text_col).alias("text_hash"), F.col(id_col)
+    ).withColumn(
+        "rn", F.row_number().over(Window.partitionBy("text_hash").orderBy(id_col))
+    )
     return (
-        df.groupBy(F.md5(text_col).alias("text_hash"))
+        ranked.groupBy("text_hash")
         .agg(
             F.count("*").alias("n_docs"),
             F.min(id_col).alias("keeper"),
-            F.sort_array(F.collect_list(id_col)).alias("members"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("rn") <= max_members, F.col(id_col)))
+            ).alias("members"),
         )
         .filter(F.col("n_docs") > 1)
     )

@@ -28,6 +28,20 @@ def test_exact_duplicates(docs):
     assert out[0]["keeper"] == 0
 
 
+def test_exact_duplicates_member_cap_bounds_the_list_not_the_count(spark):
+    """A degenerate group larger than max_members keeps the FULL n_docs but
+    lists only the first max_members ids ascending; small groups are
+    byte-identical to the uncapped plan."""
+    rows = [(i, "same text") for i in range(10)] + [(100, "other"), (101, "other")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["n_docs"]: r for r in dedup.exact_duplicates(df, max_members=3).collect()}
+    assert out[10]["members"] == [0, 1, 2] and out[10]["keeper"] == 0
+    assert out[2]["members"] == [100, 101]
+    capped = sorted(map(tuple, dedup.exact_duplicates(df, max_members=100).collect()))
+    uncapped = sorted(map(tuple, dedup.exact_duplicates(df, max_members=None).collect()))
+    assert capped == uncapped
+
+
 def test_minhash_lsh_finds_near_dups(docs):
     pairs = dedup.minhash_lsh_candidates(docs, num_hashes=32, bands=16, shingle=2).collect()
     got = {(r["a_id"], r["b_id"]) for r in pairs}
